@@ -1,0 +1,197 @@
+"""Integer codecs: plain, frame-of-reference (miniblock), RLE, dictionary.
+
+Capabilities C1/C2/C4/C5/C6 of SURVEY.md §2.4. All pure numpy; encode
+works on int32/int64 input, decode returns int64 (callers cast to the
+column's logical dtype — int32 discipline is enforced at the chunk layer).
+
+forbp is a two-level frame-of-reference: a global min, then per-128-value
+miniblock mins, residuals bit-packed per block. Blocks are grouped by bit
+width so packing is a handful of vectorized calls, not a per-block loop —
+this is what makes skewed (zipf) token streams compress well: a rare large
+token only widens its own 128-value block.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from eggopress.codecs import bitpack
+from eggopress.codecs.framing import make_blob, pack_parts, split_blob, unpack_parts
+
+BLOCK = 128
+SAMPLE = 4096
+
+
+# ---------------------------------------------------------------- plain
+
+def enc_plain(arr: np.ndarray) -> bytes:
+    if arr.dtype == np.int32 or (len(arr) and arr.min() >= -(2**31) and arr.max() < 2**31) or len(arr) == 0:
+        payload = arr.astype("<i4").tobytes()
+        w = 4
+    else:
+        payload = arr.astype("<i8").tobytes()
+        w = 8
+    return make_blob({"c": "plain", "n": int(len(arr)), "w": w}, payload)
+
+
+def dec_plain(header: dict, payload: bytes) -> np.ndarray:
+    dt = "<i4" if header["w"] == 4 else "<i8"
+    return np.frombuffer(payload, dtype=dt, count=header["n"]).astype(np.int64)
+
+
+def plain_size(n: int) -> int:
+    return 4 * n + 40  # payload + approx header
+
+
+# ------------------------------------------------- frame-of-reference
+
+def enc_forbp(arr: np.ndarray) -> bytes:
+    n = len(arr)
+    if n == 0:
+        return make_blob({"c": "forbp", "n": 0, "min": 0, "rw": 0, "nb": 0}, b"")
+    gmin = int(arr.min())
+    gmax = int(arr.max())
+    if gmax - gmin >= 2**32:  # residual too wide for bitpack — caller falls back
+        raise OverflowError("forbp residual exceeds 32 bits")
+    res = (arr.astype(np.int64, copy=False) - gmin).astype(np.uint32)
+    nb = (n + BLOCK - 1) // BLOCK
+    padded = np.zeros(nb * BLOCK, dtype=np.uint32)
+    padded[:n] = res
+    if n % BLOCK:  # pad with the block's first value so it never widens the block
+        padded[n:] = padded[(nb - 1) * BLOCK]
+    R = padded.reshape(nb, BLOCK)
+    bmin = R.min(axis=1)
+    bres = R - bmin[:, None]
+    widths = bitpack.bit_lengths(bres.max(axis=1))
+    rw = int(bitpack.bit_lengths(np.array([bmin.max()], dtype=np.uint64))[0])
+    parts = [widths.tobytes(), bitpack.pack(bmin, rw)]
+    for w in np.unique(widths):
+        idx = widths == w
+        parts.append(bitpack.pack(bres[idx].ravel(), int(w)))
+    header = {"c": "forbp", "n": n, "min": gmin, "rw": rw, "nb": nb}
+    return make_blob(header, pack_parts(parts))
+
+
+def dec_forbp(header: dict, payload: bytes) -> np.ndarray:
+    n, gmin, rw, nb = header["n"], header["min"], header["rw"], header["nb"]
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    parts = unpack_parts(payload)
+    widths = np.frombuffer(parts[0], dtype=np.uint8, count=nb)
+    bmin = bitpack.unpack(parts[1], rw, nb)
+    out = np.empty((nb, BLOCK), dtype=np.uint64)
+    for i, w in enumerate(np.unique(widths)):
+        idx = widths == w
+        m = int(idx.sum()) * BLOCK
+        out[idx] = bitpack.unpack(parts[2 + i], int(w), m).reshape(-1, BLOCK)
+    out += bmin[:, None]
+    return (out.ravel()[:n].astype(np.int64)) + gmin
+
+
+# ------------------------------------------------------------------ rle
+
+def _runs(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    n = len(arr)
+    if n == 0:
+        return arr[:0], np.zeros(0, dtype=np.int64)
+    change = np.flatnonzero(arr[1:] != arr[:-1]) + 1
+    starts = np.concatenate(([0], change))
+    lengths = np.diff(np.concatenate((starts, [n]))).astype(np.int64)
+    return arr[starts], lengths
+
+
+def enc_rle(arr: np.ndarray) -> bytes:
+    values, lengths = _runs(arr)
+    vblob = _enc_sub(values)
+    lblob = _enc_sub(lengths)
+    header = {"c": "rle", "n": int(len(arr)), "r": int(len(values))}
+    return make_blob(header, pack_parts([vblob, lblob]))
+
+
+def dec_rle(header: dict, payload: bytes) -> np.ndarray:
+    vblob, lblob = unpack_parts(payload)
+    values = decode_ints(vblob)
+    lengths = decode_ints(lblob)
+    return np.repeat(values, lengths)
+
+
+# ----------------------------------------------------------- dictionary
+
+def enc_dict(arr: np.ndarray) -> bytes:
+    d = pa.array(arr).dictionary_encode()  # hash-based, no O(n log n) sort
+    inv = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = d.dictionary.to_numpy(zero_copy_only=False).astype(np.int64)
+    # frequency-descending code assignment: hot values get small codes so
+    # miniblock packing of the code stream stays narrow
+    counts = np.bincount(inv, minlength=len(uniq))
+    order = np.argsort(-counts, kind="stable")
+    rank = np.empty(len(uniq), dtype=np.int64)
+    rank[order] = np.arange(len(uniq), dtype=np.int64)
+    codes = rank[inv]
+    dict_values = uniq[order]
+    vblob = _enc_sub(dict_values)
+    cblob = _enc_sub(codes)
+    header = {"c": "dict", "n": int(len(arr)), "k": int(len(uniq))}
+    return make_blob(header, pack_parts([vblob, cblob]))
+
+
+def dec_dict(header: dict, payload: bytes) -> np.ndarray:
+    vblob, cblob = unpack_parts(payload)
+    dict_values = decode_ints(vblob)
+    codes = decode_ints(cblob)
+    return dict_values[codes]
+
+
+# ----------------------------------------------------- selection (C6)
+
+def _enc_sub(arr: np.ndarray) -> bytes:
+    """Sub-stream encoder: forbp if it fits and wins, else plain."""
+    try:
+        blob = enc_forbp(arr)
+    except OverflowError:
+        return enc_plain(arr)
+    p = enc_plain(arr)
+    return blob if len(blob) < len(p) else p
+
+
+_ENCODERS = {
+    "plain": enc_plain,
+    "forbp": enc_forbp,
+    "rle": enc_rle,
+    "dict": enc_dict,
+}
+_DECODERS = {
+    "plain": dec_plain,
+    "forbp": dec_forbp,
+    "rle": dec_rle,
+    "dict": dec_dict,
+}
+INT_CODECS = tuple(_ENCODERS)
+
+
+def encode_ints(arr: np.ndarray, candidates: tuple[str, ...] = INT_CODECS) -> bytes:
+    """Sampled auto-selection: deterministic sample (first 4096 values),
+    encode under each candidate, pick the smallest; plain-fallback guard."""
+    arr = np.ascontiguousarray(arr)
+    sample = arr[:SAMPLE]
+    best_name, best_size = "plain", None
+    for name in candidates:
+        try:
+            size = len(_ENCODERS[name](sample))
+        except OverflowError:
+            continue
+        if best_size is None or size < best_size:
+            best_name, best_size = name, size
+    try:
+        blob = _ENCODERS[best_name](arr)
+    except OverflowError:
+        return enc_plain(arr)
+    if best_name != "plain" and len(blob) >= len(enc_plain(arr)):
+        return enc_plain(arr)
+    return blob
+
+
+def decode_ints(blob: bytes) -> np.ndarray:
+    header, payload = split_blob(blob)
+    return _DECODERS[header["c"]](header, payload)
