@@ -1,0 +1,68 @@
+"""Cluster-shape -> parallelism planning.
+
+Engine analog of eggo's generate_eggo_env_vars sizing formula
+(eggo/operations.py:124-137: cores_per_executor = min(4, node_cores);
+executors_per_node = node_cores / cpe; total = epn * workers;
+mem = 0.8 * node_mem / epn), re-targeted at Spark submission knobs. The
+scaling-efficiency requirement hangs on this: shuffle-partition count and
+encode-partition granularity must be functions of total cores, or the 4N
+run starves (SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def plan_submit(num_workers: int, node_cores: int, node_mem_mb: int) -> dict:
+    """eggo's sizing formula -> spark-submit settings for a real cluster."""
+    cores_per_executor = min(4, node_cores)
+    executors_per_node = max(1, node_cores // cores_per_executor)
+    total_executors = executors_per_node * num_workers
+    memory_per_executor_mb = int(0.8 * node_mem_mb / executors_per_node)
+    total_cores = total_executors * cores_per_executor
+    return {
+        "spark.executor.instances": total_executors,
+        "spark.executor.cores": cores_per_executor,
+        "spark.executor.memory": f"{memory_per_executor_mb}m",
+        "spark.sql.shuffle.partitions": shuffle_partitions(total_cores),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.speculation": "false",  # side-effecting encode writes
+    }
+
+
+def shuffle_partitions(total_cores: int) -> int:
+    return max(2 * total_cores, 8)
+
+
+def encode_partitions(total_cores: int) -> int:
+    """Target logical (source, salt) partition count for an encode run."""
+    return max(2 * total_cores, 8)
+
+
+def chunk_rows_default() -> int:
+    """Arrow batch size for the encode pass — constant w.r.t. cluster size
+    so per-chunk memory is bounded regardless of scale."""
+    return int(os.environ.get("EGGOPRESS_CHUNK_ROWS", "8192"))
+
+
+def local_cores() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4)))
+
+
+def session_builder(app: str, cores: int | None = None, shuffle: int | None = None):
+    """SparkSession builder with the engine's standard local config."""
+    from pyspark.sql import SparkSession
+
+    c = cores or local_cores()
+    return (
+        SparkSession.builder.master(f"local[{c}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle or shuffle_partitions(c)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(chunk_rows_default()))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("EGGOPRESS_DRIVER_MEM", "8g"))
+        .config("spark.driver.maxResultSize", "4g")
+        .config("spark.sql.parquet.enableVectorizedReader", "true")
+    )

@@ -1,0 +1,50 @@
+"""The decode pass: encoded chunk blobs -> bit-identical corpus rows.
+
+A single narrow mapInArrow stage (no shuffle): each chunk row is
+self-describing (codec + params in blob headers), so decode needs only the
+data files. Partition pruning comes free from the source=/salt= directory
+layout — a sources= filter prunes at the parquet scan.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+
+from eggopress import chunk as chunklib
+from eggopress.schema import CORPUS_SCHEMA
+from eggopress.tablefmt import Table
+
+
+def read_encoded(spark: SparkSession, table_path: str,
+                 sources: list[str] | None = None) -> DataFrame:
+    df = spark.read.parquet(Table(table_path).data_dir)
+    if sources:
+        df = df.filter(df.source.isin(sources))  # partition-pruned scan
+    return df
+
+
+def _decode_fn(batches):
+    for batch in batches:
+        cols = {
+            name: batch.column(name)
+            for name in ("doc_id_blob", "source_blob", "n_tok_blob", "tokens_blob")
+        }
+        for i in range(batch.num_rows):  # per-CHUNK loop (thousands of rows each)
+            yield pa.RecordBatch.from_arrays(
+                chunklib.decode_chunk_row(
+                    cols["doc_id_blob"][i].as_py(),
+                    cols["source_blob"][i].as_py(),
+                    cols["n_tok_blob"][i].as_py(),
+                    cols["tokens_blob"][i].as_py(),
+                ).columns,
+                schema=chunklib.CORPUS_ARROW_SCHEMA,
+            )
+
+
+def decode_table(spark: SparkSession, table_path: str,
+                 sources: list[str] | None = None) -> DataFrame:
+    enc = read_encoded(spark, table_path, sources).select(
+        "doc_id_blob", "source_blob", "n_tok_blob", "tokens_blob"
+    )
+    return enc.mapInArrow(_decode_fn, CORPUS_SCHEMA)

@@ -1,0 +1,247 @@
+"""The encode pipeline: plan -> salt -> repartitionByRange -> mapInArrow
+-> partitioned blob write -> atomic promote -> lineage checkpoint.
+
+Engine analog of eggo's toast pipeline (datasets/dbsnp/toast.sh; SURVEY.md
+§3.2): what eggo runs as five OS processes (ingest, vcf2adam, flatten,
+Hive DISTRIBUTE BY locus-partition insert, distcp publish) is one Spark
+DAG here. The DISTRIBUTE BY derived-key shuffle (toast.sh:53) becomes
+repartitionByRange on (source, salt); the spec's sample-hash
+sub-partitioning for skew (docs/spec.md:99-101) becomes explicit salting
+sized from a groupBy pre-pass; the per-stage Parquet materialization
+becomes the lineage checkpoint table (resume without re-encoding).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from eggopress import chunk as chunklib
+from eggopress import conf, lineage as lineagelib
+from eggopress.schema import CHUNK_SCHEMA, CORPUS_ARROW_SCHEMA
+from eggopress.tablefmt import Table
+
+
+def plan_salts(source_counts: dict[str, int], n_partitions: int) -> dict[str, int]:
+    """Salt count per source, proportional to its row share (min 1).
+
+    This is the skew policy: a source holding 70% of rows gets ~70% of the
+    partitions, so no single reducer owns the hot source.
+    """
+    total = sum(source_counts.values()) or 1
+    return {
+        s: max(1, round(n_partitions * c / total))
+        for s, c in sorted(source_counts.items())
+    }
+
+
+def partition_ids(salts: dict[str, int]) -> list[str]:
+    return [f"source={s}/salt={k}" for s, n in sorted(salts.items()) for k in range(n)]
+
+
+def _salt_expr(salts: dict[str, int]):
+    mapping = F.create_map(*[F.lit(x) for kv in salts.items() for x in kv])
+    return F.pmod(F.xxhash64("doc_id"), mapping[F.col("source")]).cast("int")
+
+
+def _encode_fn(fail_partitions: frozenset[str]):
+    """mapInArrow worker: split each sorted batch at (source,salt) group
+    boundaries, encode each slice as one chunk."""
+
+    def fn(batches):
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        task_id = tc.partitionId() if tc else 0
+        seq = 0
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            src = np.asarray(batch.column("source").to_numpy(zero_copy_only=False))
+            salt = batch.column("salt").to_numpy(zero_copy_only=False)
+            key_change = np.flatnonzero(
+                (src[1:] != src[:-1]) | (salt[1:] != salt[:-1])
+            ) + 1
+            starts = np.concatenate(([0], key_change, [n]))
+            corpus_cols = [batch.column(c) for c in ("doc_id", "tokens", "n_tok", "source")]
+            corpus_batch = pa.RecordBatch.from_arrays(
+                [c.cast(f.type) for c, f in zip(corpus_cols, CORPUS_ARROW_SCHEMA)],
+                schema=CORPUS_ARROW_SCHEMA,
+            )
+            rows = []
+            for i in range(len(starts) - 1):
+                s, e = int(starts[i]), int(starts[i + 1])
+                source, k = str(src[s]), int(salt[s])
+                pid = f"source={source}/salt={k}"
+                if pid in fail_partitions:
+                    raise RuntimeError(f"injected failure for {pid}")
+                rows.append(
+                    chunklib.encode_batch(
+                        corpus_batch.slice(s, e - s),
+                        pid,
+                        source,
+                        k,
+                        (task_id << 32) | seq,
+                    )
+                )
+                seq += 1
+            yield chunklib.chunk_rows_to_batch(rows)
+
+    return fn
+
+
+def encode_table(
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    *,
+    n_partitions: int | None = None,
+    run_id: str | None = None,
+    resume: bool = False,
+    waves: int = 1,
+    fail_partitions: frozenset[str] | tuple[str, ...] = (),
+) -> dict:
+    """Encode a corpus DataFrame into an eggopress table. Returns a summary.
+
+    resume=True skips partitions whose lineage rows say encode=done
+    (the anti-join resume of SURVEY.md V2).
+    """
+    tbl = Table(table_path)
+    run_id = run_id or uuid.uuid4().hex[:12]
+    t0 = time.time()
+
+    snap = tbl.snapshot()
+    if resume and snap and "salts" in snap:
+        salts = {k: int(v) for k, v in snap["salts"].items()}
+    else:
+        n_partitions = n_partitions or conf.encode_partitions(conf.local_cores())
+        counts = {r["source"]: r["cnt"] for r in
+                  df.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+        salts = plan_salts(counts, n_partitions)
+        tbl.commit_snapshot({"stage": "planned", "salts": salts,
+                             "run_id": run_id, "schema": "corpus_v1"})
+
+    all_pids = partition_ids(salts)
+    done = set(lineagelib.done_partitions(spark, tbl)) if resume else set()
+    todo = [p for p in all_pids if p not in done]
+    if not todo:
+        return {"run_id": run_id, "partitions": 0, "skipped": len(done),
+                "wall_s": 0.0, "encoded_bytes": 0}
+
+    salted = df.withColumn("salt", _salt_expr(salts))
+    if done:
+        done_pairs = [(p.split("/")[0][7:], int(p.split("salt=")[1])) for p in done]
+        cond = F.concat(F.col("source"), F.lit("|"), F.col("salt").cast("string"))
+        done_keys = [f"{s}|{k}" for s, k in done_pairs]
+        salted = salted.filter(~cond.isin(done_keys))
+
+    wave_groups = np.array_split(np.array(todo), max(1, waves))
+    total_chunks = total_rows = total_values = total_raw = total_enc = 0
+    attempts = lineagelib.attempt_counts(spark, tbl)
+
+    for wave in wave_groups:
+        wave_pids = [str(p) for p in wave if p]
+        if not wave_pids:
+            continue
+        wdf = salted
+        if len(wave_groups) > 1:
+            cond = F.concat(F.lit("source="), F.col("source"),
+                            F.lit("/salt="), F.col("salt").cast("string"))
+            wdf = salted.filter(cond.isin(wave_pids))
+
+        n_shuffle = max(len(wave_pids), 1)
+        arranged = wdf.repartitionByRange(n_shuffle, "source", "salt").sortWithinPartitions(
+            "source", "salt", "doc_id"
+        )
+        enc = arranged.mapInArrow(_encode_fn(frozenset(fail_partitions)), CHUNK_SCHEMA)
+
+        staging = tbl.staging_dir(run_id)
+        (
+            enc.write.partitionBy("source", "salt")
+            .option("compression", "uncompressed")
+            .mode("overwrite")
+            .parquet(staging)
+        )
+
+        # manifest + lineage from the staged (blob-free) stats
+        staged = spark.read.parquet(staging)
+        stats = (
+            staged.groupBy("partition_id")
+            .agg(
+                F.count("*").alias("chunks"),
+                F.sum("n_rows").alias("rows"),
+                F.sum("n_values").alias("values"),
+                F.sum("raw_bytes").alias("raw"),
+                F.sum("encoded_bytes").alias("enc"),
+                F.concat_ws(
+                    ",", F.array_distinct(F.collect_list("tokens_codec"))
+                ).alias("codecs"),
+            )
+            .collect()
+        )
+        manifest = staged.selectExpr(
+            "partition_id", "chunk_id",
+            "stack(4, 'doc_id', doc_id_codec, length(doc_id_blob), "
+            "'source', source_codec, length(source_blob), "
+            "'n_tok', n_tok_codec, length(n_tok_blob), "
+            "'tokens', tokens_codec, length(tokens_blob)) as (column, codec, encoded_bytes)",
+            "n_rows", "n_values", "raw_bytes",
+        )
+        manifest.write.mode("append").parquet(tbl.manifest_dir)
+
+        promoted = tbl.promote_partitions(run_id)
+        now = time.time()
+        lineage_rows = []
+        for r in stats:
+            pid = r["partition_id"]
+            total_chunks += r["chunks"]; total_rows += r["rows"]
+            total_values += r["values"]; total_raw += r["raw"]; total_enc += r["enc"]
+            lineage_rows.append(
+                (run_id, pid, "encode",
+                 "done" if pid in set(promoted) else "staged",
+                 attempts.get(pid, 0) + 1, r["codecs"],
+                 int(r["raw"]), int(r["enc"]), int(r["rows"]),
+                 int((now - t0) * 1000))
+            )
+        # planned-but-empty partitions still count as done (nothing to write)
+        staged_pids = {r["partition_id"] for r in stats}
+        for pid in wave_pids:
+            if pid not in staged_pids:
+                lineage_rows.append(
+                    (run_id, pid, "encode", "done", attempts.get(pid, 0) + 1,
+                     "", 0, 0, 0, int((now - t0) * 1000))
+                )
+        lineagelib.append(spark, tbl, lineage_rows)
+
+    tbl.commit_snapshot(
+        {
+            "stage": "encoded",
+            "salts": salts,
+            "run_id": run_id,
+            "schema": "corpus_v1",
+            "partitions": tbl.partition_dirs(),
+            "totals": {
+                "chunks": int(total_chunks), "rows": int(total_rows),
+                "values": int(total_values), "raw_bytes": int(total_raw),
+                "encoded_bytes": int(total_enc),
+            },
+        }
+    )
+    return {
+        "run_id": run_id,
+        "partitions": len(todo),
+        "skipped": len(done),
+        "chunks": int(total_chunks),
+        "rows": int(total_rows),
+        "values": int(total_values),
+        "raw_bytes": int(total_raw),
+        "encoded_bytes": int(total_enc),
+        "wall_s": time.time() - t0,
+    }

@@ -1,0 +1,116 @@
+"""Iceberg-style table metadata layer: snapshots + atomic commit.
+
+No Iceberg runtime jar exists in this sandbox, so this is a thin
+metadata-swap layer with Iceberg's semantics (snapshot JSON files + an
+atomically-replaced version pointer), designed so a real Iceberg catalog
+can be swapped in on a cluster via spark.sql.catalog.* without touching
+the engine (SURVEY.md §7 design stance). The commit discipline mirrors
+eggo's staging-then-rename lifecycle (eggo/util.py:93-112,
+eggo/operations.py:79-85).
+
+Layout:
+    <table>/metadata/v<N>.metadata.json   snapshot: schema, plan, partitions
+    <table>/metadata/version-hint.txt     current version (atomic os.replace)
+    <table>/data/source=<s>/salt=<k>/     encoded chunk parquet files
+    <table>/manifest/                     per-column-chunk stats parquet
+    <table>/lineage/                      checkpoint rows parquet
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+
+class Table:
+    def __init__(self, path: str):
+        self.path = os.path.abspath(path)
+        self.meta_dir = os.path.join(self.path, "metadata")
+        self.data_dir = os.path.join(self.path, "data")
+        self.manifest_dir = os.path.join(self.path, "manifest")
+        self.lineage_dir = os.path.join(self.path, "lineage")
+
+    # ---------------------------------------------------------- snapshots
+
+    def current_version(self) -> int:
+        hint = os.path.join(self.meta_dir, "version-hint.txt")
+        if not os.path.exists(hint):
+            return 0
+        with open(hint) as f:
+            return int(f.read().strip())
+
+    def snapshot(self) -> dict | None:
+        v = self.current_version()
+        if v == 0:
+            return None
+        with open(os.path.join(self.meta_dir, f"v{v}.metadata.json")) as f:
+            return json.load(f)
+
+    def commit_snapshot(self, snapshot: dict) -> int:
+        """Write v<N+1> metadata then atomically swap the version pointer."""
+        os.makedirs(self.meta_dir, exist_ok=True)
+        v = self.current_version() + 1
+        snapshot = dict(snapshot)
+        snapshot["version"] = v
+        snapshot["committed_at_ms"] = int(time.time() * 1000)
+        meta_path = os.path.join(self.meta_dir, f"v{v}.metadata.json")
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snapshot, f, indent=1)
+        os.replace(tmp, meta_path)
+        hint_tmp = os.path.join(self.meta_dir, "version-hint.txt.tmp")
+        with open(hint_tmp, "w") as f:
+            f.write(str(v))
+        os.replace(hint_tmp, os.path.join(self.meta_dir, "version-hint.txt"))
+        return v
+
+    # ------------------------------------------------- partition commits
+
+    def staging_dir(self, run_id: str) -> str:
+        return os.path.join(self.path, f"_staging_{run_id}")
+
+    def promote_partitions(self, run_id: str) -> list[str]:
+        """Move staged source=/salt= dirs into data/ (idempotent per dir).
+
+        Returns the promoted partition_ids ("source=<s>/salt=<k>").
+        """
+        staged = self.staging_dir(run_id)
+        promoted: list[str] = []
+        if not os.path.isdir(staged):
+            return promoted
+        for src_ent in sorted(os.listdir(staged)):
+            if not src_ent.startswith("source="):
+                continue
+            for salt_ent in sorted(os.listdir(os.path.join(staged, src_ent))):
+                if not salt_ent.startswith("salt="):
+                    continue
+                src = os.path.join(staged, src_ent, salt_ent)
+                dst = os.path.join(self.data_dir, src_ent, salt_ent)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                if os.path.exists(dst):
+                    shutil.rmtree(dst)  # overwrite-partition semantics
+                os.replace(src, dst)
+                promoted.append(f"{src_ent}/{salt_ent}")
+        shutil.rmtree(staged, ignore_errors=True)
+        return promoted
+
+    def partition_dirs(self) -> list[str]:
+        out = []
+        if not os.path.isdir(self.data_dir):
+            return out
+        for src_ent in sorted(os.listdir(self.data_dir)):
+            p = os.path.join(self.data_dir, src_ent)
+            if os.path.isdir(p) and src_ent.startswith("source="):
+                for salt_ent in sorted(os.listdir(p)):
+                    if salt_ent.startswith("salt="):
+                        out.append(f"{src_ent}/{salt_ent}")
+        return out
+
+    def tree_bytes(self, sub: str = "data") -> int:
+        total = 0
+        for root, _, files in os.walk(os.path.join(self.path, sub)):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total

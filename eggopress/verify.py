@@ -1,0 +1,75 @@
+"""Round-trip equality + compression-ratio verification.
+
+The oracle is self round-trip (FIXTURES.md §2): decode(encode(corpus)) must
+equal corpus per-row on every column (token-array equality is a first-class
+Spark comparison), and total encoded size must be <= the same DataFrame
+written as default (snappy) Parquet — the stand-in for the reference's
+ADAM/Parquet output (datasets/dbsnp/toast.sh:27-42).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from eggopress.tablefmt import Table
+
+
+def roundtrip_mismatches(original: DataFrame, decoded: DataFrame) -> DataFrame:
+    """Rows where decode(encode(x)) != x — must be empty. Full outer join on
+    doc_id also surfaces lost/fabricated rows."""
+    o = original.select(
+        F.col("doc_id"),
+        F.col("tokens").alias("o_tokens"),
+        F.col("n_tok").alias("o_n_tok"),
+        F.col("source").alias("o_source"),
+    )
+    d = decoded.select(
+        F.col("doc_id"),
+        F.col("tokens").alias("d_tokens"),
+        F.col("n_tok").alias("d_n_tok"),
+        F.col("source").alias("d_source"),
+    )
+    j = o.join(d, "doc_id", "full_outer")
+    return j.filter(
+        F.col("o_tokens").isNull()
+        | F.col("d_tokens").isNull()
+        | (F.col("o_tokens") != F.col("d_tokens"))
+        | (F.col("o_n_tok") != F.col("d_n_tok"))
+        | (F.col("o_source") != F.col("d_source"))
+    )
+
+
+def roundtrip_ok(original: DataFrame, decoded: DataFrame) -> bool:
+    return roundtrip_mismatches(original, decoded).limit(1).count() == 0
+
+
+def parquet_reference_bytes(df: DataFrame, scratch_dir: str) -> int:
+    """Size of df written as default-snappy Parquet (the reference size)."""
+    path = os.path.join(scratch_dir, "reference_parquet")
+    df.write.mode("overwrite").parquet(path)
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def compression_report(spark: SparkSession, table_path: str,
+                       original: DataFrame, scratch_dir: str) -> dict:
+    tbl = Table(table_path)
+    snap = tbl.snapshot() or {}
+    totals = snap.get("totals", {})
+    ref_bytes = parquet_reference_bytes(original, scratch_dir)
+    data_bytes = tbl.tree_bytes("data")
+    return {
+        "raw_bytes": totals.get("raw_bytes"),
+        "encoded_bytes": totals.get("encoded_bytes"),
+        "on_disk_bytes": data_bytes,
+        "reference_parquet_bytes": ref_bytes,
+        "ratio_vs_raw": (totals.get("raw_bytes") or 0) / max(totals.get("encoded_bytes") or 1, 1),
+        "ratio_vs_reference": ref_bytes / max(data_bytes, 1),
+        "beats_reference": data_bytes <= ref_bytes,
+    }

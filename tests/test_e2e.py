@@ -1,0 +1,96 @@
+"""End-to-end engine tests: the BASELINE.json invariant (bit-identical
+round trip) + compression-ratio gate, via the full Spark pipeline.
+SURVEY.md §5 items 3-4."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from eggopress import decode, encode, synth, verify
+from eggopress.tablefmt import Table
+
+N_DOCS = 2000  # sf-unit (FIXTURES.md)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = synth.corpus_df(spark, N_DOCS)
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def encoded_table(spark, corpus, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("tbl") / "corpus_table")
+    summary = encode.encode_table(spark, corpus, path, n_partitions=8)
+    return path, summary
+
+
+def test_synth_deterministic(spark):
+    a = synth.corpus_pandas(500)
+    b = synth.corpus_pandas(500)
+    assert a.equals(b)
+    # parallelism-independence: Spark-generated content == driver-side content
+    df = synth.corpus_df(spark, 500).toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd_a = a.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(df["doc_id"]) == list(pd_a["doc_id"])
+    assert all((x == y).all() for x, y in zip(df["tokens"], pd_a["tokens"]))
+
+
+def test_synth_shape(corpus):
+    assert [f.name for f in corpus.schema.fields] == ["doc_id", "tokens", "n_tok", "source"]
+    assert corpus.count() == N_DOCS
+    bad = corpus.filter(F.size("tokens") != F.col("n_tok")).count()
+    assert bad == 0
+    # skew present: web carries most rows
+    counts = dict(corpus.groupBy("source").count().collect())
+    assert counts["web"] > 0.5 * N_DOCS
+
+
+def test_encode_summary(encoded_table):
+    _, summary = encoded_table
+    assert summary["rows"] == N_DOCS
+    assert summary["encoded_bytes"] > 0
+    assert summary["encoded_bytes"] < summary["raw_bytes"]
+
+
+def test_roundtrip_bit_identical(spark, corpus, encoded_table):
+    path, _ = encoded_table
+    decoded = decode.decode_table(spark, path)
+    assert decoded.count() == N_DOCS
+    mism = verify.roundtrip_mismatches(corpus, decoded)
+    assert mism.count() == 0
+
+
+def test_compression_beats_reference_parquet(spark, corpus, encoded_table, scratch):
+    path, _ = encoded_table
+    report = verify.compression_report(spark, path, corpus, scratch)
+    assert report["beats_reference"], report
+
+
+def test_partition_pruned_decode(spark, corpus, encoded_table):
+    path, _ = encoded_table
+    wiki = decode.decode_table(spark, path, sources=["wiki"])
+    n_wiki = corpus.filter(F.col("source") == "wiki").count()
+    assert wiki.count() == n_wiki
+    assert wiki.filter(F.col("source") != "wiki").count() == 0
+
+
+def test_table_metadata_snapshot(encoded_table):
+    path, _ = encoded_table
+    tbl = Table(path)
+    snap = tbl.snapshot()
+    assert snap["stage"] == "encoded"
+    assert snap["version"] >= 2  # planned + encoded
+    assert set(snap["partitions"]) == set(tbl.partition_dirs())
+    assert os.path.exists(os.path.join(tbl.meta_dir, "version-hint.txt"))
+
+
+def test_manifest_written(spark, encoded_table):
+    path, _ = encoded_table
+    tbl = Table(path)
+    man = spark.read.parquet(tbl.manifest_dir)
+    cols = {r["column"] for r in man.select("column").distinct().collect()}
+    assert cols == {"doc_id", "source", "n_tok", "tokens"}
+    assert man.filter(F.col("encoded_bytes") <= 0).count() == 0
