@@ -1,0 +1,91 @@
+"""Resume (failure-injection) + skew/salting tests. SURVEY.md §5 items 5-6."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from eggopress import decode, encode, lineage, synth, verify
+from eggopress.encode import partition_ids, plan_salts
+from eggopress.tablefmt import Table
+
+N_DOCS = 2000
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = synth.corpus_df(spark, N_DOCS)
+    df.cache().count()
+    return df
+
+
+def test_plan_salts_proportional():
+    salts = plan_salts({"web": 7000, "books": 750, "code": 750, "wiki": 750, "forums": 750}, 16)
+    assert salts["web"] >= 10  # hot source gets most partitions
+    assert all(v >= 1 for v in salts.values())
+    assert salts == plan_salts({"web": 7000, "books": 750, "code": 750, "wiki": 750, "forums": 750}, 16)
+
+
+def test_salting_bounds_partition_size(spark, corpus, tmp_path):
+    path = str(tmp_path / "tbl_skew")
+    encode.encode_table(spark, corpus, path, n_partitions=16)
+    tbl = Table(path)
+    lin = lineage.read(spark, tbl).filter(F.col("status") == "done")
+    rows = {r["partition_id"]: r["row_count"] for r in lin.collect()}
+    web_parts = [v for k, v in rows.items() if k.startswith("source=web/")]
+    assert len(web_parts) >= 8, "web should be salted into many partitions"
+    # no single web partition dominates: max ≤ 3× mean over web partitions
+    assert max(web_parts) <= 3 * (sum(web_parts) / len(web_parts))
+
+
+def test_failure_injection_then_resume(spark, corpus, tmp_path):
+    path = str(tmp_path / "tbl_resume")
+    # wave-per-partition so completed waves commit before the poisoned one
+    snap_salts = plan_salts(
+        {r["source"]: r["c"] for r in corpus.groupBy("source").agg(F.count("*").alias("c")).collect()},
+        8,
+    )
+    pids = partition_ids(snap_salts)
+    poison = pids[-1]
+    with pytest.raises(Exception):
+        encode.encode_table(
+            spark, corpus, path, n_partitions=8,
+            waves=len(pids), fail_partitions=frozenset([poison]),
+        )
+    tbl = Table(path)
+    done_before = set(lineage.done_partitions(spark, tbl))
+    assert done_before, "some partitions should have committed before the failure"
+    assert poison not in done_before
+
+    # resume: only remaining partitions re-encode
+    summary = encode.encode_table(spark, corpus, path, resume=True)
+    assert summary["skipped"] == len(done_before)
+    assert summary["partitions"] == len(pids) - len(done_before)
+
+    # attempts incremented only for re-run partitions
+    attempts = lineage.attempt_counts(spark, tbl)
+    assert attempts[poison] == 1  # failed attempt never reached lineage; 1 = resume run
+    # final output identical to a clean encode
+    decoded = decode.decode_table(spark, path)
+    assert decoded.count() == N_DOCS
+    assert verify.roundtrip_ok(corpus, decoded)
+
+
+def test_resume_noop_when_complete(spark, corpus, tmp_path):
+    path = str(tmp_path / "tbl_noop")
+    encode.encode_table(spark, corpus, path, n_partitions=8)
+    summary = encode.encode_table(spark, corpus, path, resume=True)
+    assert summary["partitions"] == 0
+    assert summary["skipped"] > 0
+
+
+def test_deterministic_reencode(spark, corpus, tmp_path):
+    """Codec choice + chunking depend only on content: re-encoding a
+    partition reproduces identical blobs (resume determinism)."""
+    p1, p2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+    encode.encode_table(spark, corpus, p1, n_partitions=8)
+    encode.encode_table(spark, corpus, p2, n_partitions=8)
+    a = spark.read.parquet(Table(p1).data_dir)
+    b = spark.read.parquet(Table(p2).data_dir)
+    cols = ["partition_id", "n_rows", "n_values", "encoded_bytes",
+            "tokens_codec", "doc_id_codec"]
+    assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+    assert b.select(cols).exceptAll(a.select(cols)).count() == 0
