@@ -1,38 +1,394 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship: tokenize sf0.001 documents into the corpus shape,
+               run the full encode -> decode -> verify round trip through
+               the eggopress engine, return the per-source summary.
+queries()    — one entry per implemented operator (SURVEY.md §2 IDs in the
+               key names) + the training-data pipeline ops.
+oracle_sql() — DuckDB equivalents (same arithmetic, dialect-adjusted).
+               Engine-internal ops whose outputs depend on xxhash64
+               partitioning / codec internals are rows-only by design.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+SCRATCH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_scratch")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _roundtrip_table(spark: SparkSession, sf_dir: str) -> str:
+    """Encode the tokenized documents corpus once per sf_dir; cached on disk."""
+    from eggopress import encode
+    from eggopress.pipeline import textstats
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(SCRATCH, f"rt_{key}")
+    from eggopress.tablefmt import Table
+
+    if Table(path).snapshot() is None or (Table(path).snapshot() or {}).get("stage") != "encoded":
+        corpus = textstats.tokenize(_t(spark, sf_dir, "documents"))
+        encode.encode_table(spark, corpus, path, n_partitions=8)
+    return path
+
+
+# --------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: full engine round trip."""
+    sf_dir = "/root/testdata/sf0.001"
+    from eggopress import decode
+    from eggopress.pipeline import textstats
+
+    path = _roundtrip_table(spark, sf_dir)
+    corpus = textstats.tokenize(_t(spark, sf_dir, "documents"))
+    decoded = decode.decode_table(spark, path)
+    j = corpus.alias("o").join(decoded.alias("d"), "doc_id", "full_outer")
+    return (
+        j.groupBy(F.coalesce(F.col("o.source"), F.col("d.source")).alias("source"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("o.tokens").isNull()
+                    | F.col("d.tokens").isNull()
+                    | (F.col("o.tokens") != F.col("d.tokens")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_mismatch"),
+            F.sum(F.col("o.n_tok").cast("long")).alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# ------------------------------------------------------------- queries
+
+def _q_roundtrip_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eggopress import decode
+    from eggopress.pipeline import textstats
+
+    path = _roundtrip_table(spark, sf_dir)
+    corpus = textstats.tokenize(_t(spark, sf_dir, "documents"))
+    decoded = decode.decode_table(spark, path)
+    j = corpus.alias("o").join(decoded.alias("d"), "doc_id", "full_outer")
+    return j.groupBy(F.coalesce(F.col("o.source"), F.col("d.source")).alias("source")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.when(
+                F.col("o.tokens").isNull()
+                | F.col("d.tokens").isNull()
+                | (F.col("o.tokens") != F.col("d.tokens"))
+                | (F.col("o.n_tok") != F.col("d.n_tok")),
+                1,
+            ).otherwise(0)
+        ).alias("n_mismatch"),
+    )
+
+
+def _q_roundtrip_token_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level gate: per-source token sums computed from DECODED data
+    must equal the oracle's sums computed from the raw text."""
+    from eggopress import decode
+
+    path = _roundtrip_table(spark, sf_dir)
+    decoded = decode.decode_table(spark, path)
+    return decoded.groupBy("source").agg(
+        F.sum(F.expr("aggregate(tokens, 0L, (acc, x) -> acc + x)")).alias("token_sum"),
+        F.sum(F.col("n_tok").cast("long")).alias("n_tok_sum"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def _q_codec_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eggopress.tablefmt import Table
+
+    path = _roundtrip_table(spark, sf_dir)
+    man = spark.read.parquet(Table(path).manifest_dir)
+    return man.groupBy("column", "codec").agg(
+        F.count("*").alias("chunks"),
+        F.sum("encoded_bytes").alias("encoded_bytes"),
+    )
+
+
+def _q_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eggopress import lineage
+    from eggopress.tablefmt import Table
+
+    path = _roundtrip_table(spark, sf_dir)
+    return (
+        lineage.read(spark, Table(path))
+        .filter(F.col("status") == "done")
+        .select("partition_id", "stage", "status", "attempt", "row_count", "output_bytes")
+    )
+
+
+def _q_skew_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    total = docs.count()
+    return (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "source",
+            "n",
+            F.expr(f"greatest(1, cast(floor(16 * n / {total} + 0.5) as int))").alias("n_salts"),
+        )
+    )
+
+
+def _q_derived_partition_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .withColumn("bucket", F.expr("pmod(doc_id, 8)"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"))
+    )
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eggopress.pipeline import dedup
+
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eggopress.pipeline import dedup
+
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), 0.6)
+
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eggopress.pipeline import dedup
+
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eggopress.pipeline import dedup
+
+    return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eggopress.pipeline import simsearch
+
+    return simsearch.cosine_neardup(_t(spark, sf_dir, "embeddings"), 0.95)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str):
+    row = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).first()
+    return list(row["embedding"])
+
+
+def _q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eggopress.pipeline import simsearch
+
+    return simsearch.brute_topk(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), 10)
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eggopress.pipeline import simsearch
+
+    return simsearch.lsh_topk(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), 10)
+
+
+def _q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eggopress.pipeline import textstats
+
+    return textstats.token_counts(_t(spark, sf_dir, "documents"))
+
+
+def _q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eggopress.pipeline import textstats
+
+    return textstats.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eggopress.pipeline import textstats
+
+    return textstats.quality_scores(_t(spark, sf_dir, "documents"))
+
+
+def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eggopress.pipeline import textstats
+
+    return textstats.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eggopress.pipeline import multimodal
+
+    assets = multimodal.attach_binary(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_features(assets)
+
+
+def _q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
+    )
+
+
+def _q_join_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+        )
+    )
+
+
+def _q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.expr("cast(date_format(ts, 'yyyy-MM-dd-HH') as string)").alias("hour_key"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("value_sum"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # engine core (SURVEY.md §2.4 C1-C7, §2.3 D1-D4, §2.1 S5/S6, §2.7 V1-V2)
+        "c7_roundtrip_equality": _q_roundtrip_equality,
+        "c7_roundtrip_token_sum": _q_roundtrip_token_sum,
+        "c6_codec_selection": _q_codec_selection,
+        "v1_lineage": _q_lineage,
+        "d1_skew_source_counts": _q_skew_source_counts,
+        "d3_salt_plan": _q_salt_plan,
+        "p3_derived_partition_key": _q_derived_partition_key,
+        # training-data pipeline
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding_cosine": _q_dedup_embedding,
+        "ann_brute_topk": _q_ann_brute,
+        "ann_lsh_topk": _q_ann_lsh,
+        "text_token_counts": _q_text_token_counts,
+        "text_lang_id": _q_text_lang_id,
+        "text_quality": _q_text_quality,
+        "text_fingerprint": _q_text_fingerprint,
+        "multimodal_features": _q_multimodal,
+        # generic relational coverage (aggregate / broadcast join / window)
+        "agg_pricing_summary": _q_agg_pricing,
+        "join_segment_rollup": _q_join_segment_rollup,
+        "window_top_orders": _q_window_top_orders,
+        "events_rollup": _q_events_rollup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from eggopress.pipeline import dedup, multimodal, simsearch, textstats
+
+    cos = simsearch._cos_duck("embedding::DOUBLE[]", "q")
+    bucket_expr = simsearch.lsh_bucket_expr_duck(64)
+    qbucket_expr = bucket_expr.replace(simsearch.EMB_D_DUCK, "q")
+    return {
+        "c7_roundtrip_equality": (
+            "SELECT source, count(*) AS n_docs, cast(0 as bigint) AS n_mismatch "
+            "FROM documents GROUP BY source"
+        ),
+        "c7_roundtrip_token_sum": f"""
+            SELECT source,
+                   sum(coalesce(list_sum({textstats.TOKENS_DUCK}), 0)) AS token_sum,
+                   sum(len({textstats.WORDS_DUCK})) AS n_tok_sum,
+                   count(*) AS n_docs
+            FROM documents GROUP BY source
+        """,
+        "d1_skew_source_counts": "SELECT source, count(*) AS n FROM documents GROUP BY source",
+        "d3_salt_plan": """
+            SELECT source, count(*) AS n,
+                   greatest(1, cast(floor(16 * count(*) / (SELECT count(*) FROM documents) + 0.5) as int)) AS n_salts
+            FROM documents GROUP BY source
+        """,
+        "p3_derived_partition_key": (
+            "SELECT doc_id % 8 AS bucket, count(*) AS n, sum(n_chars) AS chars "
+            "FROM documents GROUP BY 1"
+        ),
+        "dedup_exact": dedup.EXACT_DEDUP_ORACLE,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_oracle(0.6),
+        "dedup_minhash_lsh": dedup.minhash_lsh_oracle(),
+        "dedup_simhash": dedup.SIMHASH_ORACLE,
+        "dedup_embedding_cosine": simsearch.cosine_neardup_oracle(64, 0.95),
+        "ann_brute_topk": f"""
+            SELECT vec_id, {cos} AS cos
+            FROM embeddings, (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0)
+            ORDER BY cos DESC, vec_id ASC LIMIT 10
+        """,
+        "ann_lsh_topk": f"""
+            WITH qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id, {cos} AS cos
+            FROM (SELECT vec_id, embedding, {bucket_expr} AS bucket FROM embeddings), qv
+            WHERE bucket = ({qbucket_expr})
+            ORDER BY cos DESC, vec_id ASC LIMIT 10
+        """,
+        "text_token_counts": textstats.TOKEN_COUNTS_ORACLE,
+        "text_lang_id": textstats.LANG_ID_ORACLE,
+        "text_quality": textstats.QUALITY_ORACLE,
+        "text_fingerprint": textstats.FINGERPRINT_ORACLE,
+        "multimodal_features": multimodal.FEATURES_ORACLE,
+        "agg_pricing_summary": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   sum(cast(l_quantity as decimal(18,2))) AS sum_qty,
+                   sum(cast(l_extendedprice as decimal(18,2))) AS sum_price
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_segment_rollup": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   sum(cast(o_totalprice as decimal(18,2))) AS total
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "window_top_orders": """
+            SELECT o_custkey, o_orderkey, rn FROM (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders
+            ) WHERE rn <= 2
+        """,
+        "events_rollup": """
+            SELECT event_type, strftime(ts, '%Y-%m-%d-%H') AS hour_key,
+                   count(*) AS n, sum(cast(value as decimal(18,2))) AS value_sum
+            FROM events GROUP BY 1, 2
+        """,
+    }

@@ -1,0 +1,208 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale notes (the 100 TB story):
+  - exact: hash-groupBy — one shuffle on a 128-bit digest, no skew (hash
+    keys are uniform), map-side partial agg.
+  - ngram-Jaccard: inverted-index join on shingle (explode -> self-join ->
+    pair-count) — exact Jaccard WITHOUT the O(n^2) cross join; hot
+    shingles are capped (df-style stop-shingle cut) to bound skew.
+  - minhash-LSH: signatures per doc (narrow), explode to (band, key)
+    buckets, pairs within buckets — the classic shuffle-light candidate
+    generation; banding parameters tune recall.
+  - simhash: 32-bit majority-vote fingerprint; hamming-ball candidates.
+  - embedding cosine: see simsearch.py for the bucketed ANN path.
+
+All hash arithmetic uses the md5-prefix h32 so the DuckDB oracle can
+replicate results exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from eggopress.pipeline.textstats import (
+    WORDS_DUCK,
+    WORDS_SPARK,
+    h32_duck,
+    h32_spark,
+)
+
+MINHASH_K = 16
+MINHASH_BANDS = 8  # 2 hashes per band
+MH_P = 2_147_483_647
+_rng = np.random.default_rng(7)
+MH_A = [int(a) for a in _rng.integers(1, MH_P, MINHASH_K)]
+MH_B = [int(b) for b in _rng.integers(0, MH_P, MINHASH_K)]
+
+SHINGLES_SPARK = (
+    f"array_distinct(transform(sequence(1, greatest(size({WORDS_SPARK}) - 2, 1)), "
+    f"i -> concat_ws(' ', slice({WORDS_SPARK}, i, 3))))"
+)
+SHINGLES_DUCK = (
+    f"list_distinct(list_transform(generate_series(1, greatest(len({WORDS_DUCK}) - 2, 1)), "
+    f"i -> array_to_string(({WORDS_DUCK})[i:i+2], ' ')))"
+)
+
+
+# ------------------------------------------------------------- exact
+
+def exact_dedup(df: DataFrame) -> DataFrame:
+    """Keep one representative doc per exact text digest; report per-source
+    kept/dropped counts."""
+    return (
+        df.select("source", F.md5("text").alias("digest"), "doc_id")
+        .groupBy("source", "digest")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("copies"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("kept"),
+            F.sum(F.col("copies") - 1).alias("dropped"),
+        )
+    )
+
+
+EXACT_DEDUP_ORACLE = """
+SELECT source, count(*) AS kept, sum(copies - 1) AS dropped
+FROM (
+  SELECT source, md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS copies
+  FROM documents GROUP BY source, md5(text)
+) GROUP BY source
+"""
+
+
+# --------------------------------------------------- n-gram Jaccard
+
+def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.6) -> DataFrame:
+    """Exact 3-word-shingle Jaccard >= threshold via inverted-index join
+    (explode -> join on shingle -> count common), not a cross join."""
+    sh = df.select(
+        F.col("doc_id"), F.expr(SHINGLES_SPARK).alias("shingles")
+    ).select("doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("common"))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return pairs
+
+
+def ngram_jaccard_oracle(threshold: float = 0.6) -> str:
+    return f"""
+WITH sh AS (
+  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh
+  FROM (SELECT doc_id, {SHINGLES_DUCK} AS shingles FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(count(*) / cast(a.n_sh + b.n_sh - count(*) as double), 6) AS jaccard
+FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+HAVING round(count(*) / cast(a.n_sh + b.n_sh - count(*) as double), 6) >= {threshold}
+"""
+
+
+# ------------------------------------------------------ MinHash LSH
+
+def _minhash_exprs_spark() -> list[str]:
+    h = h32_spark("s")
+    return [
+        f"array_min(transform({SHINGLES_SPARK}, s -> pmod({MH_A[i]}L * {h} + {MH_B[i]}L, {MH_P}L)))"
+        for i in range(MINHASH_K)
+    ]
+
+
+def minhash_signatures(df: DataFrame) -> DataFrame:
+    exprs = _minhash_exprs_spark()
+    return df.select(
+        "doc_id", *[F.expr(e).alias(f"mh{i}") for i, e in enumerate(exprs)]
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame) -> DataFrame:
+    """Candidate pairs sharing at least one LSH band bucket."""
+    sig = minhash_signatures(df)
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    band_cols = [
+        F.concat_ws(
+            ":",
+            F.lit(j),
+            *[F.col(f"mh{j * rows_per_band + r}") for r in range(rows_per_band)],
+        ).alias(f"band{j}")
+        for j in range(MINHASH_BANDS)
+    ]
+    banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_oracle() -> str:
+    h = h32_duck("s")
+    mh = ", ".join(
+        f"list_min(list_transform(shingles, s -> ({MH_A[i]} * {h} + {MH_B[i]}) % {MH_P})) AS mh{i}"
+        for i in range(MINHASH_K)
+    )
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    bands = ", ".join(
+        "concat_ws(':', "
+        + ", ".join([str(j)] + [f"mh{j * rows_per_band + r}" for r in range(rows_per_band)])
+        + f") AS band{j}"
+        for j in range(MINHASH_BANDS)
+    )
+    band_list = ", ".join(f"band{j}" for j in range(MINHASH_BANDS))
+    return f"""
+WITH sigs AS (
+  SELECT doc_id, {mh}
+  FROM (SELECT doc_id, {SHINGLES_DUCK} AS shingles FROM documents)
+), banded AS (
+  SELECT doc_id, unnest([{band_list}]) AS bucket
+  FROM (SELECT doc_id, {bands} FROM sigs)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+# ---------------------------------------------------------- SimHash
+
+def simhash(df: DataFrame) -> DataFrame:
+    """32-bit SimHash over word hashes (majority vote per bit)."""
+    h = h32_spark("w")
+    bit = (
+        f"transform(sequence(0, 31), j -> "
+        f"case when aggregate({WORDS_SPARK}, 0L, "
+        f"(acc, w) -> acc + (shiftright({h}, j) & 1) * 2 - 1) > 0 "
+        f"then shiftleft(1L, j) else 0L end)"
+    )
+    return df.select(
+        "doc_id",
+        F.expr(f"aggregate({bit}, 0L, (acc, x) -> acc + x)").alias("simhash"),
+        "source",
+    )
+
+
+SIMHASH_ORACLE = f"""
+SELECT doc_id,
+       list_sum(list_transform(generate_series(0, 31), j ->
+         CASE WHEN list_sum(list_transform({WORDS_DUCK}, w ->
+             (({h32_duck('w')} >> j) & 1) * 2 - 1)) > 0
+         THEN (cast(1 as bigint) << j) ELSE 0 END)) AS simhash,
+       source
+FROM documents
+"""

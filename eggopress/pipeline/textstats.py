@@ -1,0 +1,170 @@
+"""Text analysis operators: tokenization, language-ID heuristic, quality
+scoring, token counting, document fingerprinting.
+
+The tokenizer is deliberately SQL-expressible (whitespace words; token id
+= (ascii(first_char) * 131 + len(word)) % VOCAB) so the DuckDB oracle can
+replicate it exactly — it stands in for a real BPE vocabulary while
+exercising the same engine paths (array<int32> token columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+VOCAB = 50_257
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
+FP_MOD = 2_147_483_647
+
+# ---- dialect-paired fragments (Spark SQL expr / DuckDB SQL) -------------
+
+WORDS_SPARK = "filter(split(text, ' '), w -> length(w) > 0)"
+WORDS_DUCK = "list_filter(string_split(text, ' '), w -> len(w) > 0)"
+
+
+def tok_spark(w: str) -> str:
+    return f"(ascii(substring({w}, 1, 1)) * 131 + length({w})) % {VOCAB}"
+
+
+def tok_duck(w: str) -> str:
+    return f"(ascii(substr({w}, 1, 1)) * 131 + len({w})) % {VOCAB}"
+
+
+def h32_spark(s: str) -> str:
+    """32-bit md5-prefix hash, identical in both dialects."""
+    return f"cast(conv(substring(md5({s}), 1, 8), 16, 10) as bigint)"
+
+
+def h32_duck(s: str) -> str:
+    return f"cast('0x' || substr(md5({s}), 1, 8) as bigint)"
+
+
+TOKENS_SPARK = f"transform({WORDS_SPARK}, w -> cast({tok_spark('w')} as int))"
+TOKENS_DUCK = f"list_transform({WORDS_DUCK}, w -> cast({tok_duck('w')} as int))"
+
+_SW = "(" + ",".join(f"'{s}'" for s in STOPWORDS) + ")"
+STOP_RATIO_SPARK = (
+    f"size(filter({WORDS_SPARK}, w -> w in {_SW})) / cast(size({WORDS_SPARK}) as double)"
+)
+STOP_RATIO_DUCK = (
+    f"len(list_filter({WORDS_DUCK}, w -> w in {_SW})) / cast(len({WORDS_DUCK}) as double)"
+)
+
+# BPE-ish regex tokenizer (alnum runs), shared regex semantics
+RWORDS_SPARK = "filter(split(text, '[^a-zA-Z0-9]+'), w -> length(w) > 0)"
+RWORDS_DUCK = "list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), w -> len(w) > 0)"
+
+
+# --------------------------------------------------------- operators
+
+def tokenize(df: DataFrame) -> DataFrame:
+    """documents -> corpus shape (doc_id, tokens, n_tok, source)."""
+    return df.select(
+        F.expr("concat(source, '-', lpad(cast(doc_id as string), 10, '0'))").alias("doc_id"),
+        F.expr(TOKENS_SPARK).alias("tokens"),
+        F.expr(f"cast(size({WORDS_SPARK}) as int)").alias("n_tok"),
+        F.col("source"),
+    )
+
+
+def token_counts(df: DataFrame) -> DataFrame:
+    """Per-source whitespace + regex token totals."""
+    return (
+        df.select(
+            "source",
+            F.expr(f"size({WORDS_SPARK})").alias("ws"),
+            F.expr(f"size({RWORDS_SPARK})").alias("re"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("re").alias("re_tokens"),
+        )
+    )
+
+
+TOKEN_COUNTS_ORACLE = f"""
+SELECT source,
+       count(*) AS n_docs,
+       sum(len({WORDS_DUCK})) AS ws_tokens,
+       sum(len({RWORDS_DUCK})) AS re_tokens
+FROM documents GROUP BY source
+"""
+
+
+def lang_id(df: DataFrame) -> DataFrame:
+    """Stopword-ratio heuristic vs the labeled lang column."""
+    return (
+        df.select(
+            "lang",
+            F.expr(
+                f"case when {STOP_RATIO_SPARK} >= 0.05 then 'en' else 'other' end"
+            ).alias("pred_lang"),
+        )
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+LANG_ID_ORACLE = f"""
+SELECT lang,
+       CASE WHEN {STOP_RATIO_DUCK} >= 0.05 THEN 'en' ELSE 'other' END AS pred_lang,
+       count(*) AS n
+FROM documents GROUP BY 1, 2
+"""
+
+
+def quality_scores(df: DataFrame) -> DataFrame:
+    """Length / mean-word-length / stopword-ratio quality features,
+    bucketed for stable aggregation."""
+    return (
+        df.select(
+            "source",
+            F.expr(f"size({WORDS_SPARK})").alias("n_words"),
+            F.expr(f"round(n_chars / cast(size({WORDS_SPARK}) as double), 4)").alias("mean_wlen"),
+            F.expr(f"round({STOP_RATIO_SPARK}, 4)").alias("stop_ratio"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("n_words").alias("total_words"),
+            F.round(F.avg("mean_wlen"), 4).alias("avg_mean_wlen"),
+            F.round(F.avg("stop_ratio"), 4).alias("avg_stop_ratio"),
+        )
+    )
+
+
+QUALITY_ORACLE = f"""
+SELECT source,
+       sum(n_words) AS total_words,
+       round(avg(mean_wlen), 4) AS avg_mean_wlen,
+       round(avg(stop_ratio), 4) AS avg_stop_ratio
+FROM (
+  SELECT source,
+         len({WORDS_DUCK}) AS n_words,
+         round(n_chars / cast(len({WORDS_DUCK}) as double), 4) AS mean_wlen,
+         round({STOP_RATIO_DUCK}, 4) AS stop_ratio
+  FROM documents
+) GROUP BY source
+"""
+
+
+def fingerprints(df: DataFrame) -> DataFrame:
+    """Rolling polynomial word-hash fingerprint per document."""
+    fp = (
+        f"aggregate({WORDS_SPARK}, 0L, (acc, w) -> "
+        f"pmod(acc * 131 + {h32_spark('w')}, {FP_MOD}))"
+    )
+    return df.select(
+        F.col("doc_id"), F.expr(fp).alias("fingerprint"), F.col("source")
+    )
+
+
+FINGERPRINT_ORACLE = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(cast(0 as bigint), list_transform({WORDS_DUCK}, w -> {h32_duck('w')})),
+         (acc, h) -> (acc * 131 + h) % {FP_MOD}
+       ) AS fingerprint,
+       source
+FROM documents
+"""
