@@ -81,6 +81,10 @@ def encode_batch(batch: pa.RecordBatch, partition_id: str, source: str,
         "source_blob": src_blob,
         "n_tok_blob": ntok_blob,
         "tokens_blob": tok_blob,
+        "doc_id_bytes": len(doc_blob),
+        "source_bytes": len(src_blob),
+        "n_tok_bytes": len(ntok_blob),
+        "tokens_bytes": len(tok_blob),
         "doc_id_codec": codecs.codec_of(doc_blob),
         "source_codec": codecs.codec_of(src_blob),
         "n_tok_codec": codecs.codec_of(ntok_blob),

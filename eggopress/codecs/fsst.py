@@ -25,9 +25,29 @@ import base64
 import numpy as np
 
 MAX_SYMBOLS = 64
-SAMPLE_BYTES = 1 << 16
+SAMPLE_BYTES = 1 << 15
 _SYM_LENGTHS = (8, 6, 4, 3, 2)
 _MIN_COUNT = 4
+_MAX_WINDOWS = 16384
+
+
+def _mine_length(sample: np.ndarray, L: int) -> list[tuple[int, bytes]]:
+    """Frequent L-byte substrings: windows packed into uint64 keys so the
+    frequency count is a fast 1-D np.unique, not an axis=0 row sort."""
+    n = len(sample) - L + 1
+    if n <= 0:
+        return []
+    key = np.zeros(n, dtype=np.uint64)
+    for j in range(L):
+        key |= sample[j : j + n].astype(np.uint64) << np.uint64(8 * j)
+    if n > _MAX_WINDOWS:  # deterministic stride subsample
+        key = key[:: n // _MAX_WINDOWS + 1]
+    uniq, counts = np.unique(key, return_counts=True)
+    good = counts >= _MIN_COUNT
+    return [
+        ((L - 1) * int(c), int(u).to_bytes(8, "little")[:L])
+        for u, c in zip(uniq[good], counts[good])
+    ]
 
 
 def build_table(buf: bytes) -> list[tuple[int, bytes]]:
@@ -44,17 +64,7 @@ def build_table(buf: bytes) -> list[tuple[int, bytes]]:
         return []
     cands: list[tuple[int, bytes]] = []  # (gain, symbol)
     for L in _SYM_LENGTHS:
-        if len(sample) < L:
-            continue
-        win = np.lib.stride_tricks.sliding_window_view(sample, L)
-        # subsample long windows for speed; stride keeps it deterministic
-        if len(win) > 32768:
-            win = win[:: len(win) // 32768 + 1]
-        uniq, counts = np.unique(win, axis=0, return_counts=True)
-        good = counts >= _MIN_COUNT
-        for row, cnt in zip(uniq[good], counts[good]):
-            gain = (L - 1) * int(cnt)
-            cands.append((gain, row.tobytes()))
+        cands.extend(_mine_length(sample, L))
     # greedy by gain; skip symbols fully contained in an already-chosen one
     cands.sort(key=lambda t: (-t[0], t[1]))
     chosen: list[bytes] = []

@@ -62,6 +62,9 @@ def session_builder(app: str, cores: int | None = None, shuffle: int | None = No
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(chunk_rows_default()))
         .config("spark.sql.adaptive.enabled", "true")
+        # shuffle/spill on the fastest local medium (tmpfs in-sandbox; on a
+        # real cluster point EGGOPRESS_LOCAL_DIR at NVMe)
+        .config("spark.local.dir", os.environ.get("EGGOPRESS_LOCAL_DIR", "/dev/shm/spark-local"))
         .config("spark.driver.memory", os.environ.get("EGGOPRESS_DRIVER_MEM", "8g"))
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.sql.parquet.enableVectorizedReader", "true")

@@ -107,6 +107,7 @@ def encode_table(
     resume: bool = False,
     waves: int = 1,
     fail_partitions: frozenset[str] | tuple[str, ...] = (),
+    salts: dict[str, int] | None = None,
 ) -> dict:
     """Encode a corpus DataFrame into an eggopress table. Returns a summary.
 
@@ -120,6 +121,10 @@ def encode_table(
     snap = tbl.snapshot()
     if resume and snap and "salts" in snap:
         salts = {k: int(v) for k, v in snap["salts"].items()}
+    elif salts is not None:
+        # caller-provided plan (e.g. reused across the two scaling runs)
+        tbl.commit_snapshot({"stage": "planned", "salts": salts,
+                             "run_id": run_id, "schema": "corpus_v1"})
     else:
         n_partitions = n_partitions or conf.encode_partitions(conf.local_cores())
         counts = {r["source"]: r["cnt"] for r in
@@ -186,12 +191,13 @@ def encode_table(
             )
             .collect()
         )
+        # blob columns never referenced -> parquet scan prunes them
         manifest = staged.selectExpr(
             "partition_id", "chunk_id",
-            "stack(4, 'doc_id', doc_id_codec, length(doc_id_blob), "
-            "'source', source_codec, length(source_blob), "
-            "'n_tok', n_tok_codec, length(n_tok_blob), "
-            "'tokens', tokens_codec, length(tokens_blob)) as (column, codec, encoded_bytes)",
+            "stack(4, 'doc_id', doc_id_codec, doc_id_bytes, "
+            "'source', source_codec, source_bytes, "
+            "'n_tok', n_tok_codec, n_tok_bytes, "
+            "'tokens', tokens_codec, tokens_bytes) as (column, codec, encoded_bytes)",
             "n_rows", "n_values", "raw_bytes",
         )
         manifest.write.mode("append").parquet(tbl.manifest_dir)

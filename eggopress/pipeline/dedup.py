@@ -116,18 +116,21 @@ HAVING round(count(*) / cast(a.n_sh + b.n_sh - count(*) as double), 6) >= {thres
 
 # ------------------------------------------------------ MinHash LSH
 
-def _minhash_exprs_spark() -> list[str]:
-    h = h32_spark("s")
-    return [
-        f"array_min(transform({SHINGLES_SPARK}, s -> pmod({MH_A[i]}L * {h} + {MH_B[i]}L, {MH_P}L)))"
-        for i in range(MINHASH_K)
-    ]
-
-
 def minhash_signatures(df: DataFrame) -> DataFrame:
-    exprs = _minhash_exprs_spark()
-    return df.select(
-        "doc_id", *[F.expr(e).alias(f"mh{i}") for i, e in enumerate(exprs)]
+    # materialize the shingle-hash array ONCE (md5 is the expensive part),
+    # then each of the k permutations is cheap integer arithmetic over it
+    hashed = df.select(
+        "doc_id",
+        F.expr(f"transform({SHINGLES_SPARK}, s -> {h32_spark('s')})").alias("hs"),
+    )
+    return hashed.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"array_min(transform(hs, h -> pmod({MH_A[i]}L * h + {MH_B[i]}L, {MH_P}L)))"
+            ).alias(f"mh{i}")
+            for i in range(MINHASH_K)
+        ],
     )
 
 

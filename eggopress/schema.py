@@ -46,6 +46,10 @@ CHUNK_SCHEMA = T.StructType(
         T.StructField("source_blob", T.BinaryType(), False),
         T.StructField("n_tok_blob", T.BinaryType(), False),
         T.StructField("tokens_blob", T.BinaryType(), False),
+        T.StructField("doc_id_bytes", T.LongType(), False),
+        T.StructField("source_bytes", T.LongType(), False),
+        T.StructField("n_tok_bytes", T.LongType(), False),
+        T.StructField("tokens_bytes", T.LongType(), False),
         T.StructField("doc_id_codec", T.StringType(), False),
         T.StructField("source_codec", T.StringType(), False),
         T.StructField("n_tok_codec", T.StringType(), False),
@@ -67,6 +71,10 @@ CHUNK_ARROW_SCHEMA = pa.schema(
         pa.field("source_blob", pa.binary()),
         pa.field("n_tok_blob", pa.binary()),
         pa.field("tokens_blob", pa.binary()),
+        pa.field("doc_id_bytes", pa.int64()),
+        pa.field("source_bytes", pa.int64()),
+        pa.field("n_tok_bytes", pa.int64()),
+        pa.field("tokens_bytes", pa.int64()),
         pa.field("doc_id_codec", pa.string()),
         pa.field("source_codec", pa.string()),
         pa.field("n_tok_codec", pa.string()),
