@@ -170,24 +170,56 @@ _DECODERS = {
 INT_CODECS = tuple(_ENCODERS)
 
 
+def _sample(arr: np.ndarray, target: int = SAMPLE, segments: int = 8) -> np.ndarray:
+    """Deterministic sample: `segments` contiguous slices spread across the
+    chunk. Spreading covers regime-mixed streams (a head-only sample sees
+    one document's distribution); contiguity preserves run structure so
+    RLE is estimated fairly."""
+    n = len(arr)
+    if n <= target:
+        return arr
+    seg = target // segments
+    starts = ((n - seg) * np.arange(segments)) // max(segments - 1, 1)
+    return np.concatenate([arr[s : s + seg] for s in starts])
+
+
+CLOSE_CALL = 1.35
+
+
 def encode_ints(arr: np.ndarray, candidates: tuple[str, ...] = INT_CODECS) -> bytes:
-    """Sampled auto-selection: deterministic sample (first 4096 values),
-    encode under each candidate, pick the smallest; plain-fallback guard."""
+    """Sampled auto-selection: deterministic spread sample, encode under
+    each candidate, pick the smallest; plain-fallback guard.
+
+    Sample estimates can flip rank on close calls (dict's cost grows with
+    full-chunk cardinality in ways a fixed-size sample can't see), so when
+    the runner-up is within CLOSE_CALL of the winner, both are encoded at
+    full size and the smaller kept — still deterministic by content."""
     arr = np.ascontiguousarray(arr)
-    sample = arr[:SAMPLE]
-    best_name, best_size = "plain", None
+    sample = _sample(arr)
+    sizes: list[tuple[int, str]] = []
     for name in candidates:
         try:
-            size = len(_ENCODERS[name](sample))
+            sizes.append((len(_ENCODERS[name](sample)), name))
         except OverflowError:
             continue
-        if best_size is None or size < best_size:
-            best_name, best_size = name, size
+    sizes.sort()
+    best_name = sizes[0][1] if sizes else "plain"
     try:
         blob = _ENCODERS[best_name](arr)
     except OverflowError:
         return enc_plain(arr)
-    if best_name != "plain" and len(blob) >= len(enc_plain(arr)):
+    if (
+        len(sizes) > 1
+        and sizes[1][0] < CLOSE_CALL * sizes[0][0]
+        and len(arr) > SAMPLE
+    ):
+        try:
+            alt = _ENCODERS[sizes[1][1]](arr)
+            if len(alt) < len(blob):
+                blob = alt
+        except OverflowError:
+            pass
+    if len(blob) >= len(enc_plain(arr)):
         return enc_plain(arr)
     return blob
 

@@ -126,9 +126,16 @@ def encode_table(
         tbl.commit_snapshot({"stage": "planned", "salts": salts,
                              "run_id": run_id, "schema": "corpus_v1"})
     else:
-        n_partitions = n_partitions or conf.encode_partitions(conf.local_cores())
         counts = {r["source"]: r["cnt"] for r in
                   df.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+        if n_partitions is None:
+            # default: scale with cores, but never shred a small input into
+            # sub-chunk partitions (per-chunk overhead would eat the ratio)
+            total_rows = sum(counts.values())
+            n_partitions = min(
+                conf.encode_partitions(conf.local_cores()),
+                max(1, total_rows // conf.chunk_rows_default() + 1),
+            )
         salts = plan_salts(counts, n_partitions)
         tbl.commit_snapshot({"stage": "planned", "salts": salts,
                              "run_id": run_id, "schema": "corpus_v1"})
