@@ -74,22 +74,73 @@ FROM (
 
 # --------------------------------------------------- n-gram Jaccard
 
-def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.6) -> DataFrame:
-    """Exact 3-word-shingle Jaccard >= threshold via inverted-index join
-    (explode -> join on shingle -> count common), not a cross join."""
-    sh = df.select(
+def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.6,
+                        method: str = "inverted") -> DataFrame:
+    """Exact 3-word-shingle Jaccard >= threshold. Both methods return
+    identical results (parity-tested); 'inverted' wins below ~10^5 docs,
+    'prefix' is the 100TB path (candidate volume independent of hot
+    shingles).
+
+    method='prefix' (the scale path): df-ordered prefix filtering
+    from the set-similarity-join literature — each doc indexes only its
+    floor((1-t)*|d|)+1 RAREST shingles (global document-frequency order),
+    which provably covers every pair with Jaccard >= t; candidates are then
+    verified exactly with array_intersect. Hot shingles land outside
+    prefixes, so the candidate join never explodes on them.
+
+    method='inverted': plain inverted-index join (explode -> join on
+    shingle -> count common). Same results; used as a cross-check.
+    """
+    sh_docs = df.select(
         F.col("doc_id"), F.expr(SHINGLES_SPARK).alias("shingles")
-    ).select("doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
+    ).withColumn("n_sh", F.size("shingles"))
+
+    if method == "inverted":
+        sh = sh_docs.select("doc_id", "n_sh", F.explode("shingles").alias("sh"))
+        a, b = sh.alias("a"), sh.alias("b")
+        return (
+            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                F.col("a.n_sh").alias("na"),
+                F.col("b.n_sh").alias("nb"),
+            )
+            .agg(F.count("*").alias("common"))
+            .withColumn(
+                "jaccard",
+                F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
         )
-        .agg(F.count("*").alias("common"))
+
+    # ---- prefix filtering ----
+    ex = sh_docs.select("doc_id", "n_sh", F.explode("shingles").alias("sh"))
+    dfreq = ex.groupBy("sh").agg(F.count("*").alias("df"))
+    ordered = (
+        ex.join(dfreq, "sh")
+        .groupBy("doc_id", "n_sh")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "sh"))).alias("osh"))
+        .withColumn("plen", (F.floor((1 - threshold) * F.col("n_sh")) + 1).cast("int"))
+        .withColumn("prefix", F.expr("slice(transform(osh, x -> x.sh), 1, plen)"))
+    )
+    pre = ordered.select("doc_id", F.explode("prefix").alias("sh"))
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    full = sh_docs.select("doc_id", "shingles", "n_sh")
+    return (
+        cand.join(full.select(F.col("doc_id").alias("id_a"),
+                              F.col("shingles").alias("sh_a"),
+                              F.col("n_sh").alias("na")), "id_a")
+        .join(full.select(F.col("doc_id").alias("id_b"),
+                          F.col("shingles").alias("sh_b"),
+                          F.col("n_sh").alias("nb")), "id_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
             F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
@@ -97,7 +148,6 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.6) -> DataFrame:
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return pairs
 
 
 def ngram_jaccard_oracle(threshold: float = 0.6) -> str:

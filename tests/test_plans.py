@@ -1,0 +1,65 @@
+"""Physical-plan assertions: the scale story must survive refactors.
+
+Checks that Catalyst actually delivers what the design claims: partition
+pruning on the source= layout, column pruning past blob columns, broadcast
+for the dimension join, and single evaluation of expensive projection
+expressions (no CollapseProject duplication of md5 arrays).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from eggopress import encode, synth
+
+
+@pytest.fixture(scope="module")
+def table(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "tbl")
+    df = synth.corpus_df(spark, 1000)
+    encode.encode_table(spark, df, path, n_partitions=4)
+    return path
+
+
+def _formatted(df) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_decode_scan_prunes_partitions_and_columns(spark, table):
+    from eggopress import decode
+
+    df = decode.read_encoded(spark, table, sources=["web"]).select("doc_id_blob")
+    plan = _formatted(df)
+    assert "PartitionFilters" in plan and "source" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id_blob" in read_schema
+    assert "tokens_blob" not in read_schema, "unreferenced blob must be pruned"
+
+
+def test_stats_scan_never_reads_blobs(spark, table):
+    from eggopress.tablefmt import Table
+
+    df = (
+        spark.read.parquet(Table(table).data_dir)
+        .groupBy("partition_id")
+        .agg(F.sum("encoded_bytes").alias("b"))
+    )
+    read_schema = [l for l in _formatted(df).splitlines() if "ReadSchema" in l][0]
+    assert "blob" not in read_schema
+
+
+def test_dimension_join_broadcasts(spark):
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()["join_segment_rollup"](spark, "/root/testdata/sf0.001")
+    assert "BroadcastHashJoin" in _formatted(q)
+
+
+def test_minhash_hashes_once(spark):
+    from eggopress.pipeline import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _formatted(dedup.minhash_signatures(docs))
+    assert plan.count("md5") <= 2, "md5 array must not be inlined per permutation"
