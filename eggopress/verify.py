@@ -57,6 +57,42 @@ def parquet_reference_bytes(df: DataFrame, scratch_dir: str) -> int:
     return total
 
 
+def verify_table(spark: SparkSession, table_path: str, original: DataFrame,
+                 run_id: str | None = None) -> dict:
+    """Round-trip verification recorded as 'verify'-stage lineage rows
+    (per source), completing the plan -> encode -> verify provenance chain
+    (SURVEY.md V1)."""
+    import time
+    import uuid
+
+    from eggopress import decode, lineage
+
+    t0 = time.time()
+    run_id = run_id or uuid.uuid4().hex[:12]
+    tbl = Table(table_path)
+    decoded = decode.decode_table(spark, table_path)
+    mism = roundtrip_mismatches(original, decoded)
+    per_source = {
+        r["source"]: r["n"]
+        for r in mism.groupBy(F.coalesce("o_source", "d_source").alias("source"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    counts = {r["source"]: r["n"] for r in
+              original.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    wall_ms = int((time.time() - t0) * 1000)
+    rows = [
+        (run_id, f"source={s}", "verify",
+         "done" if per_source.get(s, 0) == 0 else "failed",
+         1, None, None, None, int(n), wall_ms)
+        for s, n in sorted(counts.items())
+    ]
+    lineage.append(spark, tbl, rows)
+    total_mismatch = sum(per_source.values())
+    return {"run_id": run_id, "mismatches": int(total_mismatch),
+            "roundtrip_ok": total_mismatch == 0, "sources": len(counts)}
+
+
 def compression_report(spark: SparkSession, table_path: str,
                        original: DataFrame, scratch_dir: str) -> dict:
     tbl = Table(table_path)
