@@ -26,6 +26,18 @@ def bit_lengths(x: np.ndarray) -> np.ndarray:
     return w
 
 
+def bit_lengths32(x: np.ndarray) -> np.ndarray:
+    """bit_lengths for uint32 input without widening (hot path)."""
+    x = x.astype(np.uint32, copy=True)
+    w = np.zeros(x.shape, dtype=np.uint8)
+    for s in (16, 8, 4, 2, 1):
+        m = x >= np.uint32(1 << s)
+        w[m] += s
+        x[m] >>= np.uint32(s)
+    w += x.astype(np.uint8)
+    return w
+
+
 def bit_width_of_max(maxval: int) -> int:
     return int(maxval).bit_length()
 
@@ -49,13 +61,40 @@ def pack(vals: np.ndarray, width: int) -> bytes:
     for j in range(q):
         parts.append(((v >> np.uint32(8 * j)) & np.uint32(0xFF)).astype(np.uint8).tobytes())
     if r:
-        hi = (v >> np.uint32(8 * q)).astype(np.uint8)  # values < 2**r
-        bits = np.empty((r, n), dtype=np.uint8)
-        for j in range(r):
-            np.bitwise_and(hi >> np.uint8(j), np.uint8(1), out=bits[j])
-        # transpose so each value's r bits are consecutive in the stream
-        parts.append(np.packbits(bits.T.ravel(), bitorder="little").tobytes())
+        hi = v >> np.uint32(8 * q)  # values < 2**r, r in 1..7
+        parts.append(_pack_small(hi, r))
     return b"".join(parts)
+
+
+def _pack_small(vals: np.ndarray, r: int) -> bytes:
+    """Pack values < 2**r (1<=r<=7) at exactly r bits each: 8 values land
+    in one little-endian uint64 word occupying its low r bytes — pure
+    integer arithmetic, no bit matrices or transposes."""
+    n = len(vals)
+    m = (n + 7) // 8
+    padded = np.zeros(m * 8, dtype=np.uint64)
+    padded[:n] = vals.astype(np.uint64, copy=False)
+    V = padded.reshape(m, 8)
+    shifts = (np.uint64(r) * np.arange(8, dtype=np.uint64))
+    words = (V << shifts).sum(axis=1, dtype=np.uint64)  # disjoint bit ranges
+    by = words.astype("<u8").view(np.uint8).reshape(m, 8)[:, :r]
+    return np.ascontiguousarray(by).tobytes()[: (n * r + 7) // 8]
+
+
+def _unpack_small(buf: bytes, r: int, n: int) -> np.ndarray:
+    m = (n + 7) // 8
+    raw = np.zeros(m * 8, dtype=np.uint8)
+    src = np.frombuffer(buf, dtype=np.uint8)
+    by = raw.reshape(m, 8)
+    flat = np.zeros(m * r, dtype=np.uint8)
+    flat[: len(src)] = src[: m * r]
+    by[:, :r] = flat.reshape(m, r)
+    words = raw.view("<u8")
+    mask = np.uint64((1 << r) - 1)
+    out = np.empty((m, 8), dtype=np.uint64)
+    for k in range(8):
+        out[:, k] = (words >> np.uint64(r * k)) & mask
+    return out.ravel()[:n]
 
 
 def unpack(buf: bytes, width: int, n: int) -> np.ndarray:
@@ -70,13 +109,6 @@ def unpack(buf: bytes, width: int, n: int) -> np.ndarray:
         out |= plane.astype(np.uint32) << np.uint32(8 * j)
         off += n
     if r:
-        bits = np.unpackbits(
-            np.frombuffer(buf, dtype=np.uint8, offset=off),
-            count=n * r,
-            bitorder="little",
-        ).reshape(n, r)
-        hi = np.zeros(n, dtype=np.uint32)
-        for j in range(r):
-            hi |= bits[:, j].astype(np.uint32) << np.uint32(j)
+        hi = _unpack_small(buf[off:], r, n).astype(np.uint32)
         out |= hi << np.uint32(8 * q)
     return out.astype(np.uint64)

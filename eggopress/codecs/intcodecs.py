@@ -89,6 +89,56 @@ def dec_forbp(header: dict, payload: bytes) -> np.ndarray:
     return (out.ravel()[:n].astype(np.int64)) + gmin
 
 
+# ----------------------------------------------------- patched FOR (PFOR)
+
+def enc_pfor(arr: np.ndarray) -> bytes:
+    """Patched frame-of-reference: subtract min, pack every value at a
+    single narrow width w, and 'patch' the few wide values from two side
+    streams (positions as deltas, high bits). w is chosen exactly from the
+    bit-length histogram by total-cost argmin — deterministic by content.
+    This is what gets zipf-ish code streams near their entropy: the hot
+    mass pays w bits, the tail pays only its excess."""
+    n = len(arr)
+    if n == 0:
+        return make_blob({"c": "pfor", "n": 0, "min": 0, "w": 0}, pack_parts([b"", b"", b""]))
+    gmin = int(arr.min())
+    gmax = int(arr.max())
+    if gmax - gmin >= 2**32:
+        raise OverflowError("pfor residual exceeds 32 bits")
+    res = (arr.astype(np.int64, copy=False) - gmin).astype(np.uint32)
+    bl = bitpack.bit_lengths32(res)
+    hist = np.bincount(bl, minlength=34)
+    above = n - np.cumsum(hist)  # above[w] = #values with bit_length > w
+    maxw = int(bl.max())
+    costs = [
+        n * w + int(above[w]) * ((maxw - w) + 12)  # bits: lows + (high + pos) per exc
+        for w in range(maxw + 1)
+    ]
+    w = int(np.argmin(costs))
+    lows = res & np.uint32((1 << w) - 1) if w else np.zeros(n, dtype=np.uint32)
+    lows_buf = bitpack.pack(lows, w)
+    high_all = res >> np.uint32(w)
+    pos = np.flatnonzero(high_all)
+    highs = high_all[pos].astype(np.int64)
+    deltas = np.diff(pos, prepend=-1).astype(np.int64) - 1
+    payload = pack_parts([lows_buf, _enc_sub(deltas), _enc_sub(highs)])
+    return make_blob({"c": "pfor", "n": n, "min": gmin, "w": w}, payload)
+
+
+def dec_pfor(header: dict, payload: bytes) -> np.ndarray:
+    n, gmin, w = header["n"], header["min"], header["w"]
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    lows_buf, dblob, hblob = unpack_parts(payload)
+    out = bitpack.unpack(lows_buf, w, n).astype(np.int64) if w else np.zeros(n, dtype=np.int64)
+    deltas = decode_ints(dblob)
+    if len(deltas):
+        pos = np.cumsum(deltas + 1) - 1
+        highs = decode_ints(hblob)
+        out[pos] += highs << w
+    return out + gmin
+
+
 # ------------------------------------------------------------------ rle
 
 def _runs(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -146,7 +196,9 @@ def dec_dict(header: dict, payload: bytes) -> np.ndarray:
 # ----------------------------------------------------- selection (C6)
 
 def _enc_sub(arr: np.ndarray) -> bytes:
-    """Sub-stream encoder: forbp if it fits and wins, else plain."""
+    """Sub-stream encoder: forbp if it fits and wins, else plain.
+    (No pfor here: pfor's own side streams use _enc_sub — keeping the
+    recursion one level deep.)"""
     try:
         blob = enc_forbp(arr)
     except OverflowError:
@@ -158,12 +210,14 @@ def _enc_sub(arr: np.ndarray) -> bytes:
 _ENCODERS = {
     "plain": enc_plain,
     "forbp": enc_forbp,
+    "pfor": enc_pfor,
     "rle": enc_rle,
     "dict": enc_dict,
 }
 _DECODERS = {
     "plain": dec_plain,
     "forbp": dec_forbp,
+    "pfor": dec_pfor,
     "rle": dec_rle,
     "dict": dec_dict,
 }
@@ -203,19 +257,30 @@ def encode_ints(arr: np.ndarray, candidates: tuple[str, ...] = INT_CODECS) -> by
         except OverflowError:
             continue
     sizes.sort()
+    # speed tie-break: forbp is the cheapest real codec; within 2% of a
+    # pfor/dict winner's sampled size, take forbp (deterministic)
+    if sizes and sizes[0][1] in ("pfor", "dict"):
+        hit = [s_ for s_ in sizes if s_[1] == "forbp" and s_[0] <= 1.02 * sizes[0][0]]
+        if hit:
+            sizes.insert(0, hit[0])
     best_name = sizes[0][1] if sizes else "plain"
     try:
         blob = _ENCODERS[best_name](arr)
     except OverflowError:
         return enc_plain(arr)
+    # cross-check only when the sample winner's size grows NONLINEARLY with
+    # chunk length (dict: cardinality growth; pfor: exception-rate drift) —
+    # forbp/rle/plain sampled sizes extrapolate linearly and are trusted.
+    # forbp is the only alternate: single pass, cheapest real codec.
     if (
-        len(sizes) > 1
-        and sizes[1][0] < CLOSE_CALL * sizes[0][0]
+        sizes
+        and sizes[0][1] in ("dict", "pfor")
+        and any(nm == "forbp" and sz < CLOSE_CALL * sizes[0][0] for sz, nm in sizes)
         and len(arr) > SAMPLE
     ):
         try:
-            alt = _ENCODERS[sizes[1][1]](arr)
-            if len(alt) < len(blob):
+            alt = enc_forbp(arr)
+            if len(alt) < 0.98 * len(blob):  # switch only for a real gain
                 blob = alt
         except OverflowError:
             pass
