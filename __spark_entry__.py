@@ -244,8 +244,11 @@ def _q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
+        # exact decimal sum, then one cast to double: identical value and
+        # rendering in Spark and the DuckDB oracle (HUGEINT/DECIMAL sums
+        # otherwise hash differently at the driver gate)
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
     )
 
 
@@ -257,7 +260,7 @@ def _q_join_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
         )
     )
 
@@ -280,7 +283,7 @@ def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type", F.expr("cast(date_format(ts, 'yyyy-MM-dd-HH') as string)").alias("hour_key"))
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("value_sum"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
         )
     )
 
@@ -329,8 +332,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "c7_roundtrip_token_sum": f"""
             SELECT source,
-                   sum(coalesce(list_sum({textstats.TOKENS_DUCK}), 0)) AS token_sum,
-                   sum(len({textstats.WORDS_DUCK})) AS n_tok_sum,
+                   cast(sum(coalesce(list_sum({textstats.TOKENS_DUCK}), 0)) as bigint) AS token_sum,
+                   cast(sum(len({textstats.WORDS_DUCK})) as bigint) AS n_tok_sum,
                    count(*) AS n_docs
             FROM documents GROUP BY source
         """,
@@ -341,7 +344,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
         """,
         "p3_derived_partition_key": (
-            "SELECT doc_id % 8 AS bucket, count(*) AS n, sum(n_chars) AS chars "
+            "SELECT doc_id % 8 AS bucket, count(*) AS n, cast(sum(n_chars) as bigint) AS chars "
             "FROM documents GROUP BY 1"
         ),
         "dedup_exact": dedup.EXACT_DEDUP_ORACLE,
@@ -368,13 +371,13 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": multimodal.FEATURES_ORACLE,
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,
-                   sum(cast(l_quantity as decimal(18,2))) AS sum_qty,
-                   sum(cast(l_extendedprice as decimal(18,2))) AS sum_price
+                   cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
+                   cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_price
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "join_segment_rollup": """
             SELECT c_mktsegment, count(*) AS n_orders,
-                   sum(cast(o_totalprice as decimal(18,2))) AS total
+                   cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
         """,
@@ -388,7 +391,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_rollup": """
             SELECT event_type, strftime(ts, '%Y-%m-%d-%H') AS hour_key,
-                   count(*) AS n, sum(cast(value as decimal(18,2))) AS value_sum
+                   count(*) AS n, cast(sum(cast(value as decimal(18,2))) as double) AS value_sum
             FROM events GROUP BY 1, 2
         """,
     }

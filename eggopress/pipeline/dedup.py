@@ -64,7 +64,7 @@ def exact_dedup(df: DataFrame) -> DataFrame:
 
 
 EXACT_DEDUP_ORACLE = """
-SELECT source, count(*) AS kept, sum(copies - 1) AS dropped
+SELECT source, count(*) AS kept, cast(sum(copies - 1) as bigint) AS dropped
 FROM (
   SELECT source, md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS copies
   FROM documents GROUP BY source, md5(text)
@@ -252,10 +252,10 @@ def simhash(df: DataFrame) -> DataFrame:
 
 SIMHASH_ORACLE = f"""
 SELECT doc_id,
-       list_sum(list_transform(generate_series(0, 31), j ->
+       cast(list_sum(list_transform(generate_series(0, 31), j ->
          CASE WHEN list_sum(list_transform({WORDS_DUCK}, w ->
              (({h32_duck('w')} >> j) & 1) * 2 - 1)) > 0
-         THEN (cast(1 as bigint) << j) ELSE 0 END)) AS simhash,
+         THEN (cast(1 as bigint) << j) ELSE 0 END)) as bigint) AS simhash,
        source
 FROM documents
 """

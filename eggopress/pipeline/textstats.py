@@ -86,8 +86,8 @@ def token_counts(df: DataFrame) -> DataFrame:
 TOKEN_COUNTS_ORACLE = f"""
 SELECT source,
        count(*) AS n_docs,
-       sum(len({WORDS_DUCK})) AS ws_tokens,
-       sum(len({RWORDS_DUCK})) AS re_tokens
+       cast(sum(len({WORDS_DUCK})) as bigint) AS ws_tokens,
+       cast(sum(len({RWORDS_DUCK})) as bigint) AS re_tokens
 FROM documents GROUP BY source
 """
 
@@ -135,7 +135,7 @@ def quality_scores(df: DataFrame) -> DataFrame:
 
 QUALITY_ORACLE = f"""
 SELECT source,
-       sum(n_words) AS total_words,
+       cast(sum(n_words) as bigint) AS total_words,
        round(avg(mean_wlen), 4) AS avg_mean_wlen,
        round(avg(stop_ratio), 4) AS avg_stop_ratio
 FROM (

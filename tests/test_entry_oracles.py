@@ -29,23 +29,38 @@ def duck():
 
 
 def _norm(v):
+    """Type-sensitive normalization: int vs float vs Decimal must MATCH in
+    kind, not just value — the driver's hash gate treats DuckDB HUGEINT
+    rendered as float ('1533.0') as different from Spark's bigint ('1533'),
+    so the local mirror must too (round-1 lesson)."""
+    import decimal
+
+    if isinstance(v, bool):
+        return f"b:{v}"
     if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return f"{v:.6f}"
-    try:  # Decimal / numpy scalars
-        if hasattr(v, "is_integer") or type(v).__name__ in ("Decimal",):
-            return f"{float(v):.6f}"
-    except Exception:
-        pass
+        return "f:nan" if math.isnan(v) else f"f:{v:.6f}"
     if isinstance(v, int):
-        return f"{float(v):.6f}"
+        return f"i:{v}"
+    if isinstance(v, decimal.Decimal):
+        return f"d:{v}"
     return str(v)
 
 
 def _rowset(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(tuple(_norm(r[i]) for i in idx) for r in rows)
+
+
+def _frame_rows(pdf):
+    """pandas frame -> (lowercase cols, python-native row tuples). Both
+    sides go through pandas because the driver does — DuckDB's HUGEINT
+    becomes float64 only on the pandas path, which fetchall() hides."""
+    cols = [c.lower() for c in pdf.columns]
+    rows = [
+        tuple(v.item() if hasattr(v, "item") else v for v in t)
+        for t in pdf.itertuples(index=False, name=None)
+    ]
+    return cols, rows
 
 
 ORACLES = entrymod.oracle_sql()
@@ -61,13 +76,8 @@ def test_entry_smoke(spark):
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, duck, name):
-    qdf = QUERIES[name](spark, SF_DIR)
-    spark_cols = [c.lower() for c in qdf.columns]
-    spark_rows = [tuple(r) for r in qdf.collect()]
-
-    res = duck.sql(ORACLES[name])
-    duck_cols = [c.lower() for c in res.columns]
-    duck_rows = res.fetchall()
+    spark_cols, spark_rows = _frame_rows(QUERIES[name](spark, SF_DIR).toPandas())
+    duck_cols, duck_rows = _frame_rows(duck.sql(ORACLES[name]).df())
 
     assert sorted(spark_cols) == sorted(duck_cols), (spark_cols, duck_cols)
     assert len(spark_rows) == len(duck_rows), (name, len(spark_rows), len(duck_rows))
