@@ -186,10 +186,19 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_t(spark, sf_dir, "documents"))
 
 
+def _q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eggopress.pipeline import dedup
+
+    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), 3)
+
+
 def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eggopress.pipeline import simsearch
 
-    return simsearch.cosine_neardup(_t(spark, sf_dir, "embeddings"), 0.95)
+    # 0.45 (not 0.95): the synthetic embeddings are near-orthogonal random
+    # vectors, so a 0.95 gate returns zero rows on both sides and proves
+    # nothing; at 0.45 the gate compares real non-empty pair sets.
+    return simsearch.cosine_neardup(_t(spark, sf_dir, "embeddings"), 0.45, dim=64)
 
 
 def _query_vec(spark: SparkSession, sf_dir: str):
@@ -303,6 +312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "ann_brute_topk": _q_ann_brute,
         "ann_lsh_topk": _q_ann_lsh,
@@ -351,7 +361,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_oracle(0.6),
         "dedup_minhash_lsh": dedup.minhash_lsh_oracle(),
         "dedup_simhash": dedup.SIMHASH_ORACLE,
-        "dedup_embedding_cosine": simsearch.cosine_neardup_oracle(64, 0.95),
+        "dedup_simhash_pairs": dedup.simhash_pairs_oracle(3),
+        "dedup_embedding_cosine": simsearch.cosine_neardup_oracle(64, 0.45),
         "ann_brute_topk": f"""
             SELECT vec_id, {cos} AS cos
             FROM embeddings, (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0)

@@ -4,13 +4,18 @@ embedding-cosine near-dup.
 Scale notes (the 100 TB story):
   - exact: hash-groupBy — one shuffle on a 128-bit digest, no skew (hash
     keys are uniform), map-side partial agg.
-  - ngram-Jaccard: inverted-index join on shingle (explode -> self-join ->
-    pair-count) — exact Jaccard WITHOUT the O(n^2) cross join; hot
-    shingles are capped (df-style stop-shingle cut) to bound skew.
+  - ngram-Jaccard: df-ordered prefix filtering (default) — each doc
+    indexes only its rarest floor((1-t)*|d|)+1 shingles, so candidate
+    volume is independent of hot-shingle frequency; exact verification
+    via array_intersect. The plain inverted-index join survives as an
+    explicitly-requested cross-check (quadratic on hot shingles).
   - minhash-LSH: signatures per doc (narrow), explode to (band, key)
     buckets, pairs within buckets — the classic shuffle-light candidate
     generation; banding parameters tune recall.
-  - simhash: 32-bit majority-vote fingerprint; hamming-ball candidates.
+  - simhash: 32-bit majority-vote fingerprint; simhash_pairs generates
+    hamming-ball candidates from 4x8-bit band buckets (pigeonhole: any
+    pair within hamming distance 3 matches at least one band exactly, so
+    recall is 100%, not approximate) and verifies with popcount(xor).
   - embedding cosine: see simsearch.py for the bucketed ANN path.
 
 All hash arithmetic uses the md5-prefix h32 so the DuckDB oracle can
@@ -75,21 +80,21 @@ FROM (
 # --------------------------------------------------- n-gram Jaccard
 
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.6,
-                        method: str = "inverted") -> DataFrame:
+                        method: str = "prefix") -> DataFrame:
     """Exact 3-word-shingle Jaccard >= threshold. Both methods return
-    identical results (parity-tested); 'inverted' wins below ~10^5 docs,
-    'prefix' is the 100TB path (candidate volume independent of hot
-    shingles).
+    identical results (parity-tested).
 
-    method='prefix' (the scale path): df-ordered prefix filtering
-    from the set-similarity-join literature — each doc indexes only its
-    floor((1-t)*|d|)+1 RAREST shingles (global document-frequency order),
-    which provably covers every pair with Jaccard >= t; candidates are then
-    verified exactly with array_intersect. Hot shingles land outside
-    prefixes, so the candidate join never explodes on them.
+    method='prefix' (default, the 100TB path): df-ordered prefix
+    filtering from the set-similarity-join literature — each doc indexes
+    only its floor((1-t)*|d|)+1 RAREST shingles (global document-frequency
+    order), which provably covers every pair with Jaccard >= t; candidates
+    are then verified exactly with array_intersect. Hot shingles land
+    outside prefixes, so the candidate join's cardinality carries no
+    shingle-frequency term and never explodes on them.
 
     method='inverted': plain inverted-index join (explode -> join on
-    shingle -> count common). Same results; used as a cross-check.
+    shingle -> count common). Same results; quadratic on hot shingles, so
+    it is only a small-scale cross-check, never the default.
     """
     sh_docs = df.select(
         F.col("doc_id"), F.expr(SHINGLES_SPARK).alias("shingles")
@@ -249,6 +254,70 @@ def simhash(df: DataFrame) -> DataFrame:
         "source",
     )
 
+
+SIMHASH_BANDS = 4
+
+
+def simhash_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate pairs whose 32-bit SimHashes differ in <= max_hamming
+    bits. Candidates come from 4x8-bit band buckets — by pigeonhole a pair
+    within hamming distance 3 (< n_bands) agrees exactly on at least one
+    band, so this is an EXACT hamming-ball join, not an approximation —
+    then popcount(xor) verifies. One shuffle on the band key; per-bucket
+    cardinality is bounded by the fingerprint distribution (256 buckets
+    per band over a majority-vote hash, near-uniform on non-dup corpora).
+
+    max_hamming must stay < SIMHASH_BANDS for the pigeonhole guarantee.
+    """
+    sh = simhash(df).select("doc_id", "simhash")
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.expr(f"concat('{j}:', cast(shiftright(simhash, {8 * j}) & 255 as string))")
+                    for j in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.expr("cast(bit_count(a.simhash ^ b.simhash) as int)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs_oracle(max_hamming: int = 3) -> str:
+    bands = ", ".join(
+        f"concat('{j}:', cast((simhash >> {8 * j}) & 255 as varchar))"
+        for j in range(SIMHASH_BANDS)
+    )
+    return f"""
+WITH sh AS ({SIMHASH_ORACLE_BODY}),
+banded AS (SELECT doc_id, simhash, unnest([{bands}]) AS bucket FROM sh)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       cast(bit_count(xor(a.simhash, b.simhash)) as int) AS hamming
+FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+SIMHASH_ORACLE_BODY = f"""
+SELECT doc_id,
+       cast(list_sum(list_transform(generate_series(0, 31), j ->
+         CASE WHEN list_sum(list_transform({WORDS_DUCK}, w ->
+             (({h32_duck('w')} >> j) & 1) * 2 - 1)) > 0
+         THEN (cast(1 as bigint) << j) ELSE 0 END)) as bigint) AS simhash
+FROM documents
+"""
 
 SIMHASH_ORACLE = f"""
 SELECT doc_id,

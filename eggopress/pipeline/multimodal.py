@@ -53,15 +53,28 @@ def extract_features(assets: DataFrame) -> DataFrame:
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             payloads = pdf["payload"]
-            byte_len = payloads.str.len().astype("int32")
-            first_byte = payloads.map(lambda b: b[0] if len(b) else -1).astype("int32")
-            checksum = payloads.map(lambda b: sum(b) % ADLER_MOD).astype("int64")
+            byte_len = payloads.str.len().to_numpy(dtype=np.int64)
+            # one concatenated buffer + offset arithmetic: the whole batch
+            # is processed by vectorized numpy ops, zero per-element Python
+            buf = np.frombuffer(b"".join(payloads.tolist()), dtype=np.uint8)
+            ends = np.cumsum(byte_len)
+            starts = ends - byte_len
+            if len(buf) == 0:
+                first_byte = np.full(len(pdf), -1, dtype="int32")
+            else:
+                first_byte = np.where(
+                    byte_len > 0, buf[np.minimum(starts, len(buf) - 1)], -1
+                ).astype("int32")
+            cs = np.concatenate(([0], np.cumsum(buf, dtype=np.int64)))
+            checksum = ((cs[ends] - cs[starts]) % ADLER_MOD).astype("int64")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "byte_len": byte_len,
+                    "byte_len": byte_len.astype("int32"),
                     "first_byte": first_byte,
                     "checksum": checksum,
                     "fake_width": (byte_len % 640).astype("int32"),

@@ -20,11 +20,17 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 N_PLANES = 8
+NEARDUP_BANDS = 16
+NEARDUP_BITS = 4
+
+
+def _planes_n(n: int, dim: int) -> np.ndarray:
+    rng = np.random.default_rng(1234)  # fixed seed: same planes every call
+    return rng.integers(-1000, 1001, size=(n, dim)).astype(np.float64) / 1000.0
 
 
 def _planes(dim: int) -> np.ndarray:
-    rng = np.random.default_rng(1234)  # fixed seed: same planes every call
-    return rng.integers(-1000, 1001, size=(N_PLANES, dim)).astype(np.float64) / 1000.0
+    return _planes_n(N_PLANES, dim)
 
 
 def _vec_lit_spark(vec) -> str:
@@ -137,29 +143,78 @@ LIMIT {k}
 """
 
 
-def cosine_neardup(df: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """Embedding near-duplicate pairs (cosine >= threshold), bucketed by
-    LSH so the join is bucket-local rather than a full cross join."""
-    dim = len(df.select("embedding").first()["embedding"])
-    b = df.withColumn("bucket", F.expr(lsh_bucket_expr_spark(dim)))
-    a, c = b.alias("a"), b.alias("b")
-    cos = _cos_spark("cast(a.embedding as array<double>)", "cast(b.embedding as array<double>)")
+def _neardup_bucket_exprs(dim: int, n_bands: int, bits: int, dialect: str) -> list[str]:
+    """One bucket-key string per band: 'band:signbits'. The band prefix
+    keeps buckets disjoint across bands so a single string-key join covers
+    the multi-probe union."""
+    planes = _planes_n(n_bands * bits, dim)
+    out = []
+    for j in range(n_bands):
+        terms = []
+        for r in range(bits):
+            if dialect == "spark":
+                p = _vec_lit_spark(planes[j * bits + r])
+                terms.append(
+                    f"(case when {_dot_spark(EMB_D_SPARK, p)} > 0 then {1 << r} else 0 end)"
+                )
+            else:
+                p = _vec_lit_duck(planes[j * bits + r])
+                terms.append(
+                    f"(CASE WHEN {_dot_duck(EMB_D_DUCK, p)} > 0 THEN {1 << r} ELSE 0 END)"
+                )
+        key = " + ".join(terms)
+        out.append(f"concat('{j}:', cast(({key}) as varchar))" if dialect == "duck"
+                   else f"concat('{j}:', cast({key} as string))")
+    return out
+
+
+def cosine_neardup(df: DataFrame, threshold: float = 0.95, *, dim: int = 64,
+                   n_bands: int = NEARDUP_BANDS, bits_per_band: int = NEARDUP_BITS) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine >= threshold) via banded
+    multi-probe hyperplane LSH: each vector emits one sign-bit key per
+    band; pairs sharing ANY band bucket are candidates, verified exactly.
+
+    Scale story (the per-bucket cardinality bound): each band splits n
+    rows into 2^bits buckets (expected bucket size n / 2^bits), so the
+    candidate join produces ~ n_bands * n^2 / 2^(bits+1) pairs with NO
+    dependence on data skew beyond the hyperplane margins. At 100 TB,
+    bits_per_band scales as log2(n / target_bucket_rows) and n_bands is
+    then chosen for recall: p_band = (1 - theta/pi)^bits, recall =
+    1 - (1 - p_band)^n_bands. The bucket string is a natural partition
+    key — each band bucket's pairs compute locally after one shuffle.
+    """
+    exprs = _neardup_bucket_exprs(dim, n_bands, bits_per_band, "spark")
+    banded = df.select(
+        "vec_id", F.explode(F.array(*[F.expr(e) for e in exprs])).alias("bucket")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    emb = df.select("vec_id", "embedding")
+    cos = _cos_spark("cast(emb_a as array<double>)", "cast(emb_b as array<double>)")
     return (
-        a.join(c, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.expr(cos).alias("cos"),
-        )
+        cand.join(emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a")), "id_a")
+        .join(emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b")), "id_b")
+        .select("id_a", "id_b", F.expr(cos).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
 
 
-def cosine_neardup_oracle(dim: int, threshold: float = 0.95) -> str:
+def cosine_neardup_oracle(dim: int, threshold: float = 0.95,
+                          n_bands: int = NEARDUP_BANDS, bits_per_band: int = NEARDUP_BITS) -> str:
+    exprs = _neardup_bucket_exprs(dim, n_bands, bits_per_band, "duck")
+    bucket_list = ", ".join(exprs)
     cos = _cos_duck("x.embedding::DOUBLE[]", "y.embedding::DOUBLE[]")
     return f"""
-WITH bk AS (SELECT vec_id, embedding, {lsh_bucket_expr_duck(dim)} AS bucket FROM embeddings)
-SELECT x.vec_id AS id_a, y.vec_id AS id_b, {cos} AS cos
-FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WITH bk AS (SELECT vec_id, unnest([{bucket_list}]) AS bucket FROM embeddings),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, {cos} AS cos
+FROM cand JOIN embeddings x ON x.vec_id = id_a JOIN embeddings y ON y.vec_id = id_b
 WHERE {cos} >= {threshold}
 """
