@@ -31,7 +31,7 @@ def _roundtrip_table(spark: SparkSession, sf_dir: str) -> str:
     from eggopress.pipeline import textstats
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = os.path.join(SCRATCH, f"rt_{key}")
+    path = os.path.join(SCRATCH, f"rt2_{key}")  # rt2: chunk schema gained min/max stats
     from eggopress.tablefmt import Table
 
     if Table(path).snapshot() is None or (Table(path).snapshot() or {}).get("stage") != "encoded":
@@ -128,6 +128,16 @@ def _q_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineage.read(spark, Table(path))
         .filter(F.col("status") == "done")
         .select("partition_id", "stage", "status", "attempt", "row_count", "output_bytes")
+    )
+
+
+def _q_predicate_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 row-subset filter with chunk-level min/max skipping at the scan."""
+    from eggopress import decode
+
+    path = _roundtrip_table(spark, sf_dir)
+    return decode.decode_table(spark, path, n_tok_range=(30, 60)).select(
+        "doc_id", "n_tok", "source"
     )
 
 
@@ -304,6 +314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c7_roundtrip_token_sum": _q_roundtrip_token_sum,
         "c6_codec_selection": _q_codec_selection,
         "v1_lineage": _q_lineage,
+        "p2_predicate_decode": _q_predicate_decode,
         "d1_skew_source_counts": _q_skew_source_counts,
         "d3_salt_plan": _q_salt_plan,
         "p3_derived_partition_key": _q_derived_partition_key,
@@ -346,6 +357,13 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(len({textstats.WORDS_DUCK})) as bigint) AS n_tok_sum,
                    count(*) AS n_docs
             FROM documents GROUP BY source
+        """,
+        "p2_predicate_decode": f"""
+            SELECT concat(source, '-', lpad(cast(doc_id as varchar), 10, '0')) AS doc_id,
+                   cast(len({textstats.WORDS_DUCK}) as int) AS n_tok,
+                   source
+            FROM documents
+            WHERE len({textstats.WORDS_DUCK}) BETWEEN 30 AND 60
         """,
         "d1_skew_source_counts": "SELECT source, count(*) AS n FROM documents GROUP BY source",
         "d3_salt_plan": """

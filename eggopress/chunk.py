@@ -77,6 +77,12 @@ def encode_batch(batch: pa.RecordBatch, partition_id: str, source: str,
         "n_values": int(len(values)),
         "raw_bytes": int(raw),
         "encoded_bytes": int(enc),
+        # chunk-skipping stats: a predicate decode prunes chunks whose
+        # [min, max] window misses the predicate (SURVEY.md §4)
+        "n_tok_min": int(n_tok.min()) if n_rows else 0,
+        "n_tok_max": int(n_tok.max()) if n_rows else 0,
+        "tok_min": int(values.min()) if len(values) else 0,
+        "tok_max": int(values.max()) if len(values) else 0,
         "doc_id_blob": doc_blob,
         "source_blob": src_blob,
         "n_tok_blob": ntok_blob,

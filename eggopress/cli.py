@@ -25,7 +25,38 @@ def _load_input(spark, spec: str):
     return spark.read.parquet(spec)
 
 
-def main(argv: list[str] | None = None) -> int:
+def _load_documents(spark, path: str, fmt: str, source: str | None):
+    """Raw-corpus readers for ingest (reference S2, eggo/operations.py:39-85):
+    jsonl/text/parquet -> (doc_id, text, source) documents."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    if fmt == "jsonl":
+        df = spark.read.json(path)
+    elif fmt == "text":
+        df = spark.read.text(path).withColumnRenamed("value", "text")
+    elif fmt == "parquet":
+        df = spark.read.parquet(path)
+    else:
+        raise ValueError(f"unknown ingest format: {fmt}")
+    if "text" not in df.columns:
+        raise ValueError(f"ingest input has no 'text' column: {df.columns}")
+    if "source" not in df.columns or source:
+        df = df.withColumn(
+            "source", F.lit(source or _os.path.basename(path).split(".")[0])
+        )
+    if "doc_id" not in df.columns:
+        # deterministic content-addressed id (the eggo staging-name trick,
+        # eggo/util.py:81-90): exact-duplicate rows collapse at ingest
+        df = df.withColumn("doc_id", F.md5(F.concat_ws("\x1f", "source", "text"))) \
+               .dropDuplicates(["doc_id"])
+    return df.select("doc_id", "text", "source")
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    """CLI entry. `spark` injects an existing session (tests); when None a
+    session is created and stopped here (spark-submit path)."""
     p = argparse.ArgumentParser(prog="eggopress")
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -35,6 +66,21 @@ def main(argv: list[str] | None = None) -> int:
     enc.add_argument("--partitions", type=int, default=None)
     enc.add_argument("--resume", action="store_true")
     enc.add_argument("--waves", type=int, default=1)
+    enc.add_argument("--retries", type=int, default=0)
+
+    ing = sub.add_parser(
+        "ingest", help="raw corpus (jsonl/text/parquet docs) -> tokenize -> encoded table"
+    )
+    ing.add_argument("--input", required=True)
+    ing.add_argument("--format", choices=["jsonl", "text", "parquet"], default="jsonl")
+    ing.add_argument("--source", default=None, help="source label (default: input basename)")
+    ing.add_argument("--table", required=True)
+    ing.add_argument("--partitions", type=int, default=None)
+
+    reg = sub.add_parser("register", help="register a table in the Spark catalog")
+    reg.add_argument("--table", required=True)
+    reg.add_argument("--name", required=True)
+    reg.add_argument("--query", default=None, help="optional SQL to run after registration")
 
     dec = sub.add_parser("decode", help="decode a table back to corpus parquet")
     dec.add_argument("--table", required=True)
@@ -58,7 +104,9 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(conf.plan_submit(args.workers, args.node_cores, args.node_mem_mb), indent=1))
         return 0
 
-    spark = conf.session_builder(f"eggopress-{args.cmd}").getOrCreate()
+    owns_session = spark is None
+    if owns_session:
+        spark = conf.session_builder(f"eggopress-{args.cmd}").getOrCreate()
     try:
         if args.cmd == "encode":
             from eggopress import encode
@@ -66,9 +114,27 @@ def main(argv: list[str] | None = None) -> int:
             df = _load_input(spark, args.input)
             summary = encode.encode_table(
                 spark, df, args.table, n_partitions=args.partitions,
-                resume=args.resume, waves=args.waves,
+                resume=args.resume, waves=args.waves, retries=args.retries,
             )
             print(json.dumps(summary))
+        elif args.cmd == "ingest":
+            from eggopress import encode
+            from eggopress.pipeline import textstats
+
+            docs = _load_documents(spark, args.input, args.format, args.source)
+            corpus = textstats.tokenize(docs, make_ids=False)
+            summary = encode.encode_table(
+                spark, corpus, args.table, n_partitions=args.partitions
+            )
+            print(json.dumps(summary))
+        elif args.cmd == "register":
+            from eggopress import catalog
+
+            info = catalog.register(spark, args.table, args.name)
+            if args.query:
+                for row in spark.sql(args.query).collect():
+                    print(json.dumps(row.asDict(), default=str))
+            print(json.dumps(info))
         elif args.cmd == "decode":
             from eggopress import decode
 
@@ -89,7 +155,8 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(report))
             return 0 if ok and report["beats_reference"] else 1
     finally:
-        spark.stop()
+        if owns_session:
+            spark.stop()
     return 0
 
 

@@ -17,10 +17,20 @@ from eggopress.tablefmt import Table
 
 
 def read_encoded(spark: SparkSession, table_path: str,
-                 sources: list[str] | None = None) -> DataFrame:
+                 sources: list[str] | None = None,
+                 n_tok_range: tuple[int | None, int | None] | None = None) -> DataFrame:
     df = spark.read.parquet(Table(table_path).data_dir)
     if sources:
         df = df.filter(df.source.isin(sources))  # partition-pruned scan
+    if n_tok_range:
+        # chunk skipping on manifest-grade min/max stats: these are plain
+        # int columns in the chunk parquet, so the predicate pushes down
+        # to the scan and skipped chunks' blobs are never materialized
+        lo, hi = n_tok_range
+        if lo is not None:
+            df = df.filter(df.n_tok_max >= lo)
+        if hi is not None:
+            df = df.filter(df.n_tok_min <= hi)
     return df
 
 
@@ -43,8 +53,20 @@ def _decode_fn(batches):
 
 
 def decode_table(spark: SparkSession, table_path: str,
-                 sources: list[str] | None = None) -> DataFrame:
-    enc = read_encoded(spark, table_path, sources).select(
+                 sources: list[str] | None = None,
+                 n_tok_range: tuple[int | None, int | None] | None = None) -> DataFrame:
+    """Decode a table; `n_tok_range=(lo, hi)` is the predicate path (P2):
+    chunk-level min/max skipping at the scan, then an exact row filter on
+    the decoded output (chunk stats only bound, rows inside a surviving
+    chunk may still miss the range)."""
+    enc = read_encoded(spark, table_path, sources, n_tok_range).select(
         "doc_id_blob", "source_blob", "n_tok_blob", "tokens_blob"
     )
-    return enc.mapInArrow(_decode_fn, CORPUS_SCHEMA)
+    out = enc.mapInArrow(_decode_fn, CORPUS_SCHEMA)
+    if n_tok_range:
+        lo, hi = n_tok_range
+        if lo is not None:
+            out = out.filter(out.n_tok >= lo)
+        if hi is not None:
+            out = out.filter(out.n_tok <= hi)
+    return out

@@ -13,8 +13,7 @@ becomes the lineage checkpoint table (resume without re-encoding).
 
 from __future__ import annotations
 
-import json
-import os
+import math
 import time
 import uuid
 
@@ -35,8 +34,10 @@ def plan_salts(source_counts: dict[str, int], n_partitions: int) -> dict[str, in
     partitions, so no single reducer owns the hot source.
     """
     total = sum(source_counts.values()) or 1
+    # floor(x + 0.5), not Python round(): banker's rounding would diverge
+    # from the documented (and oracle-pinned) half-up policy on .5 ties
     return {
-        s: max(1, round(n_partitions * c / total))
+        s: max(1, int(math.floor(n_partitions * c / total + 0.5)))
         for s, c in sorted(source_counts.items())
     }
 
@@ -47,12 +48,32 @@ def partition_ids(salts: dict[str, int]) -> list[str]:
 
 def _salt_expr(salts: dict[str, int]):
     mapping = F.create_map(*[F.lit(x) for kv in salts.items() for x in kv])
-    return F.pmod(F.xxhash64("doc_id"), mapping[F.col("source")]).cast("int")
+    n = mapping[F.col("source")]
+    # a source absent from the plan would otherwise become a NULL salt and
+    # die deep in the Arrow worker as 'cannot convert float NaN to integer'
+    return (
+        F.when(
+            n.isNull(),
+            F.raise_error(
+                F.concat(F.lit("encode: source missing from salt plan: "), F.col("source"))
+            ).cast("int"),
+        )
+        .otherwise(F.pmod(F.xxhash64("doc_id"), n))
+        .cast("int")
+    )
 
 
-def _encode_fn(fail_partitions: frozenset[str]):
+def _encode_fn(fail_partitions: frozenset[str],
+               fail_until_attempt: dict[str, int] | None = None,
+               attempts: dict[str, int] | None = None):
     """mapInArrow worker: split each sorted batch at (source,salt) group
-    boundaries, encode each slice as one chunk."""
+    boundaries, encode each slice as one chunk.
+
+    fail_partitions always fail (resume tests); fail_until_attempt[pid]=k
+    fails while the current attempt number is <= k (auto-retry tests).
+    """
+    fail_until_attempt = fail_until_attempt or {}
+    attempts = attempts or {}
 
     def fn(batches):
         from pyspark import TaskContext
@@ -82,6 +103,8 @@ def _encode_fn(fail_partitions: frozenset[str]):
                 pid = f"source={source}/salt={k}"
                 if pid in fail_partitions:
                     raise RuntimeError(f"injected failure for {pid}")
+                if attempts.get(pid, 0) + 1 <= fail_until_attempt.get(pid, 0):
+                    raise RuntimeError(f"injected transient failure for {pid}")
                 rows.append(
                     chunklib.encode_batch(
                         corpus_batch.slice(s, e - s),
@@ -106,17 +129,26 @@ def encode_table(
     run_id: str | None = None,
     resume: bool = False,
     waves: int = 1,
+    retries: int = 0,
     fail_partitions: frozenset[str] | tuple[str, ...] = (),
+    fail_until_attempt: dict[str, int] | None = None,
     salts: dict[str, int] | None = None,
 ) -> dict:
     """Encode a corpus DataFrame into an eggopress table. Returns a summary.
 
     resume=True skips partitions whose lineage rows say encode=done
-    (the anti-join resume of SURVEY.md V2).
+    (the anti-join resume of SURVEY.md V2). A fresh (non-resume) encode
+    first clears data/manifest/lineage: partitions from a previous plan
+    must not survive into the new table or decode would return
+    phantom/duplicate rows. retries=N re-runs a failed wave up to N times
+    (driver-level auto-retry, SURVEY.md V3 — the eggo sleep_progressive
+    analog, eggo/util.py:50-59), recording each failure in lineage.
     """
     tbl = Table(table_path)
     run_id = run_id or uuid.uuid4().hex[:12]
     t0 = time.time()
+    if not resume:
+        tbl.clear_state()
 
     snap = tbl.snapshot()
     if resume and snap and "salts" in snap:
@@ -172,15 +204,32 @@ def encode_table(
         arranged = wdf.repartitionByRange(n_shuffle, "source", "salt").sortWithinPartitions(
             "source", "salt", "doc_id"
         )
-        enc = arranged.mapInArrow(_encode_fn(frozenset(fail_partitions)), CHUNK_SCHEMA)
 
         staging = tbl.staging_dir(run_id)
-        (
-            enc.write.partitionBy("source", "salt")
-            .option("compression", "uncompressed")
-            .mode("overwrite")
-            .parquet(staging)
-        )
+        for try_no in range(max(0, retries) + 1):
+            enc = arranged.mapInArrow(
+                _encode_fn(frozenset(fail_partitions), fail_until_attempt, dict(attempts)),
+                CHUNK_SCHEMA,
+            )
+            try:
+                (
+                    enc.write.partitionBy("source", "salt")
+                    .option("compression", "uncompressed")
+                    .mode("overwrite")
+                    .parquet(staging)
+                )
+                break
+            except Exception:
+                now_ms = int((time.time() - t0) * 1000)
+                lineagelib.append(spark, tbl, [
+                    (run_id, pid, "encode", "failed", attempts.get(pid, 0) + 1,
+                     None, None, None, None, now_ms)
+                    for pid in wave_pids
+                ])
+                for pid in wave_pids:
+                    attempts[pid] = attempts.get(pid, 0) + 1
+                if try_no >= max(0, retries):
+                    raise
 
         # manifest + lineage from the staged (blob-free) stats
         staged = spark.read.parquet(staging)
@@ -206,6 +255,7 @@ def encode_table(
             "'n_tok', n_tok_codec, n_tok_bytes, "
             "'tokens', tokens_codec, tokens_bytes) as (column, codec, encoded_bytes)",
             "n_rows", "n_values", "raw_bytes",
+            "n_tok_min", "n_tok_max", "tok_min", "tok_max",
         )
         manifest.write.mode("append").parquet(tbl.manifest_dir)
 

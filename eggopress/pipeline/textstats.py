@@ -56,10 +56,19 @@ RWORDS_DUCK = "list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), w -> len(w
 
 # --------------------------------------------------------- operators
 
-def tokenize(df: DataFrame) -> DataFrame:
-    """documents -> corpus shape (doc_id, tokens, n_tok, source)."""
+def tokenize(df: DataFrame, make_ids: bool = True) -> DataFrame:
+    """documents -> corpus shape (doc_id, tokens, n_tok, source).
+
+    make_ids=True derives 'source-0000000042' ids from numeric doc_ids
+    (the testdata shape); pass False when doc_id is already a unique
+    string (the ingest path — lpad would truncate long ids)."""
+    id_expr = (
+        "concat(source, '-', lpad(cast(doc_id as string), 10, '0'))"
+        if make_ids
+        else "cast(doc_id as string)"
+    )
     return df.select(
-        F.expr("concat(source, '-', lpad(cast(doc_id as string), 10, '0'))").alias("doc_id"),
+        F.expr(id_expr).alias("doc_id"),
         F.expr(TOKENS_SPARK).alias("tokens"),
         F.expr(f"cast(size({WORDS_SPARK}) as int)").alias("n_tok"),
         F.col("source"),

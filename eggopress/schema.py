@@ -42,6 +42,12 @@ CHUNK_SCHEMA = T.StructType(
         T.StructField("n_values", T.LongType(), False),
         T.StructField("raw_bytes", T.LongType(), False),
         T.StructField("encoded_bytes", T.LongType(), False),
+        # chunk-skipping stats (SURVEY.md §4 "partition pruning" row):
+        # min/max per chunk let a predicate decode skip whole chunks
+        T.StructField("n_tok_min", T.IntegerType(), False),
+        T.StructField("n_tok_max", T.IntegerType(), False),
+        T.StructField("tok_min", T.IntegerType(), False),
+        T.StructField("tok_max", T.IntegerType(), False),
         T.StructField("doc_id_blob", T.BinaryType(), False),
         T.StructField("source_blob", T.BinaryType(), False),
         T.StructField("n_tok_blob", T.BinaryType(), False),
@@ -67,6 +73,10 @@ CHUNK_ARROW_SCHEMA = pa.schema(
         pa.field("n_values", pa.int64()),
         pa.field("raw_bytes", pa.int64()),
         pa.field("encoded_bytes", pa.int64()),
+        pa.field("n_tok_min", pa.int32()),
+        pa.field("n_tok_max", pa.int32()),
+        pa.field("tok_min", pa.int32()),
+        pa.field("tok_max", pa.int32()),
         pa.field("doc_id_blob", pa.binary()),
         pa.field("source_blob", pa.binary()),
         pa.field("n_tok_blob", pa.binary()),
@@ -93,6 +103,10 @@ MANIFEST_SCHEMA = T.StructType(
         T.StructField("n_values", T.LongType(), False),
         T.StructField("raw_bytes", T.LongType(), False),
         T.StructField("encoded_bytes", T.LongType(), False),
+        T.StructField("n_tok_min", T.IntegerType(), True),
+        T.StructField("n_tok_max", T.IntegerType(), True),
+        T.StructField("tok_min", T.IntegerType(), True),
+        T.StructField("tok_max", T.IntegerType(), True),
     ]
 )
 

@@ -66,6 +66,19 @@ class Table:
         os.replace(hint_tmp, os.path.join(self.meta_dir, "version-hint.txt"))
         return v
 
+    def clear_state(self) -> None:
+        """Fresh-encode semantics: drop data/manifest/lineage and any stale
+        staging dirs so a non-resume encode never inherits partitions from
+        a previous plan (which would decode as phantom/duplicate rows).
+        Snapshot history in metadata/ is kept — the new encode commits the
+        next version."""
+        for d in (self.data_dir, self.manifest_dir, self.lineage_dir):
+            shutil.rmtree(d, ignore_errors=True)
+        if os.path.isdir(self.path):
+            for ent in os.listdir(self.path):
+                if ent.startswith("_staging_"):
+                    shutil.rmtree(os.path.join(self.path, ent), ignore_errors=True)
+
     # ------------------------------------------------- partition commits
 
     def staging_dir(self, run_id: str) -> str:

@@ -42,7 +42,12 @@ def roundtrip_mismatches(original: DataFrame, decoded: DataFrame) -> DataFrame:
 
 
 def roundtrip_ok(original: DataFrame, decoded: DataFrame) -> bool:
-    return roundtrip_mismatches(original, decoded).limit(1).count() == 0
+    """Equality AND cardinality: a fabricated duplicate row fans out to two
+    equal join rows that the mismatch filter cannot see, so the row counts
+    must also agree."""
+    if roundtrip_mismatches(original, decoded).limit(1).count() != 0:
+        return False
+    return original.count() == decoded.count()
 
 
 def parquet_reference_bytes(df: DataFrame, scratch_dir: str) -> int:
@@ -80,17 +85,23 @@ def verify_table(spark: SparkSession, table_path: str, original: DataFrame,
     }
     counts = {r["source"]: r["n"] for r in
               original.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # cardinality check: a duplicated decoded row joins clean and would
+    # otherwise pass — per-source decoded counts must equal the original's
+    dec_counts = {r["source"]: r["n"] for r in
+                  decoded.groupBy("source").agg(F.count("*").alias("n")).collect()}
     wall_ms = int((time.time() - t0) * 1000)
     rows = [
         (run_id, f"source={s}", "verify",
-         "done" if per_source.get(s, 0) == 0 else "failed",
+         "done" if per_source.get(s, 0) == 0 and dec_counts.get(s, 0) == n else "failed",
          1, None, None, None, int(n), wall_ms)
         for s, n in sorted(counts.items())
     ]
     lineage.append(spark, tbl, rows)
     total_mismatch = sum(per_source.values())
+    count_ok = dec_counts == counts
     return {"run_id": run_id, "mismatches": int(total_mismatch),
-            "roundtrip_ok": total_mismatch == 0, "sources": len(counts)}
+            "roundtrip_ok": total_mismatch == 0 and count_ok,
+            "counts_match": count_ok, "sources": len(counts)}
 
 
 def compression_report(spark: SparkSession, table_path: str,

@@ -60,9 +60,15 @@ def test_failure_injection_then_resume(spark, corpus, tmp_path):
     assert summary["skipped"] == len(done_before)
     assert summary["partitions"] == len(pids) - len(done_before)
 
-    # attempts incremented only for re-run partitions
+    # attempts incremented only for re-run partitions; the failed first
+    # attempt is now itself recorded in lineage (status='failed'), so the
+    # successful resume run is attempt 2
     attempts = lineage.attempt_counts(spark, tbl)
-    assert attempts[poison] == 1  # failed attempt never reached lineage; 1 = resume run
+    assert attempts[poison] == 2
+    failed = lineage.read(spark, tbl).filter(
+        (F.col("status") == "failed") & (F.col("partition_id") == poison)
+    )
+    assert failed.count() >= 1
     # final output identical to a clean encode
     decoded = decode.decode_table(spark, path)
     assert decoded.count() == N_DOCS
