@@ -141,6 +141,21 @@ def _q_predicate_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_edition_flat_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat edition (token-level rows, the nested->flat duality) rollup."""
+    from eggopress import editions
+
+    path = _roundtrip_table(spark, sf_dir)
+    return (
+        editions.edition_df(spark, path, "flat")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_pos"),
+            F.sum(F.col("token").cast("long")).alias("token_sum"),
+        )
+    )
+
+
 def _q_skew_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "documents")
@@ -315,6 +330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c6_codec_selection": _q_codec_selection,
         "v1_lineage": _q_lineage,
         "p2_predicate_decode": _q_predicate_decode,
+        "edition_flat_rollup": _q_edition_flat_rollup,
         "d1_skew_source_counts": _q_skew_source_counts,
         "d3_salt_plan": _q_salt_plan,
         "p3_derived_partition_key": _q_derived_partition_key,
@@ -364,6 +380,12 @@ def oracle_sql() -> dict[str, str]:
                    source
             FROM documents
             WHERE len({textstats.WORDS_DUCK}) BETWEEN 30 AND 60
+        """,
+        "edition_flat_rollup": f"""
+            SELECT source,
+                   cast(sum(len({textstats.WORDS_DUCK})) as bigint) AS n_pos,
+                   cast(sum(coalesce(list_sum({textstats.TOKENS_DUCK}), 0)) as bigint) AS token_sum
+            FROM documents GROUP BY source
         """,
         "d1_skew_source_counts": "SELECT source, count(*) AS n FROM documents GROUP BY source",
         "d3_salt_plan": """

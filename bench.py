@@ -5,9 +5,10 @@ times for the headline suite at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 --scaling: runs the SAME encode job at multiple parallelism levels
-(default local[1], local[4], local[16]) on the SAME pre-materialized
-input, reports throughput at each plus scaling efficiency
-= thr@4N / (4 x thr@N), and writes BENCH/BASELINE.md. (Sandbox
+(default local[1,4,8,16,32]) on the SAME pre-materialized input, reports
+throughput at each plus scaling efficiency = thr@4N / (4 x thr@N) for
+BOTH the repo-protocol pair (8 -> 32, BASELINE.md:30) and the
+cluster-analog pair (1 -> 4), and writes BENCH/BASELINE.md. (Sandbox
 substitute for the N- vs 4N-executor cluster criterion, per the driver
 instruction; see the bandwidth-ceiling analysis in that file.)
 """
@@ -126,40 +127,60 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
 
 
 def run_scaling() -> dict:
-    """Same encode job at two (or more) parallelism levels on identical
-    input; efficiency computed between N = levels[0] and 4N. Extra levels
-    chart the saturation curve (single host shares one memory bus — see
-    BENCH/BASELINE.md)."""
-    levels = [int(x) for x in os.environ.get("EGGOPRESS_SCALING_LEVELS", "1,4,16").split(",")]
-    repeats = int(os.environ.get("EGGOPRESS_SCALING_REPEATS", "2"))
+    """Same encode job at multiple parallelism levels on identical input;
+    efficiency reported for every 4x pair present in the level list. The
+    repo-protocol pair is 8 -> 32 (BASELINE.md:30); 1 -> 4 is the
+    cluster-analog pair (below the single-host memory-bandwidth ceiling —
+    see BENCH/BASELINE.md)."""
+    levels = [int(x) for x in os.environ.get("EGGOPRESS_SCALING_LEVELS", "1,4,8,16,32").split(",")]
+    repeats = int(os.environ.get("EGGOPRESS_SCALING_REPEATS", "3"))
+    cooldown = int(os.environ.get("EGGOPRESS_SCALING_COOLDOWN", "20"))
     results: dict[int, dict] = {}
+    first = True
     for cpus in levels:
-        best = None
+        runs = []
         for _ in range(repeats):
+            if not first:
+                time.sleep(cooldown)  # back-to-back runs degrade successors
+            first = False
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
             out = subprocess.run(
                 [sys.executable, os.path.join(REPO, "bench.py"), "--encode-only"],
                 env=env, capture_output=True, text=True, check=True,
             )
-            r = json.loads(out.stdout.strip().splitlines()[-1])
-            if best is None or r["tokens_per_sec_encode"] > best["tokens_per_sec_encode"]:
-                best = r
-        results[cpus] = best
-    n = levels[0]
-    n4 = 4 * n if 4 * n in results else levels[-1]
-    thr_n = results[n]["tokens_per_sec_encode"]
-    thr_n4 = results[n4]["tokens_per_sec_encode"]
-    eff = thr_n4 / ((n4 / n) * thr_n)
+            runs.append(json.loads(out.stdout.strip().splitlines()[-1]))
+        # median, not best-of: run-to-run host contention on this shared VM
+        # swings single-level throughput >2x, and the efficiency ratio is
+        # only as stable as its noisiest endpoint
+        runs.sort(key=lambda r: r["tokens_per_sec_encode"])
+        med = runs[len(runs) // 2]
+        med["all_runs_tokens_per_sec"] = [r["tokens_per_sec_encode"] for r in runs]
+        results[cpus] = med
+
+    def eff(a: int, b: int) -> float:
+        return round(
+            results[b]["tokens_per_sec_encode"]
+            / ((b / a) * results[a]["tokens_per_sec_encode"]),
+            3,
+        )
+
+    pairs = {f"{a}->{b}": eff(a, b) for a, b in
+             [(a, 4 * a) for a in levels if 4 * a in results]}
+    proto = pairs.get("8->32")
+    analog = pairs.get("1->4")
     report = {
-        "level_n": n,
-        "level_4n": n4,
-        "throughput_n_tokens_per_sec": thr_n,
-        "throughput_4n_tokens_per_sec": thr_n4,
-        "scaling_efficiency": round(eff, 3),
-        "meets_0.8_target": eff >= 0.8,
+        # repo-protocol pair (BASELINE.md:30): local[8] -> local[32]
+        "protocol_pair": "8->32",
+        "scaling_efficiency": proto if proto is not None else analog,
+        "meets_0.8_target": (proto if proto is not None else analog or 0) >= 0.8,
+        # cluster-analog pair: below the shared-bus bandwidth ceiling
+        "cluster_analog_pair": "1->4",
+        "cluster_analog_efficiency": analog,
+        "pairs": pairs,
         "bench_docs": int(os.environ.get("EGGOPRESS_SCALING_DOCS", "800000")),
-        "tokens": results[n4]["tokens"],
+        "tokens": results[levels[-1]]["tokens"],
         "curve": {str(c): results[c]["tokens_per_sec_encode"] for c in levels},
+        "curve_all_runs": {str(c): results[c]["all_runs_tokens_per_sec"] for c in levels},
     }
     _write_baseline_md(results, report)
     return report
@@ -209,10 +230,21 @@ def run_encode_only(cpus: int) -> dict:
 
 def _write_baseline_md(results: dict, report: dict) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    n, n4 = report["level_n"], report["level_4n"]
     rows = "\n".join(
-        f"| local[{c}] | {r['wall_sec']} | {r['tokens_per_sec_encode']:,} |"
+        f"| local[{c}] | {r['wall_sec']} | {r['tokens_per_sec_encode']:,} | "
+        f"{min(r['all_runs_tokens_per_sec']):,} – {max(r['all_runs_tokens_per_sec']):,} |"
         for c, r in sorted(results.items())
+    )
+    pair_rows = "\n".join(
+        f"| {p} | {e} | {'MET' if e >= 0.8 else 'NOT MET'} |"
+        for p, e in sorted(report["pairs"].items(), key=lambda kv: int(kv[0].split('->')[0]))
+    )
+    proto = report["pairs"].get("8->32")
+    proto_line = (
+        f"**Protocol pair (BASELINE.md:30, local[8] -> local[32]): efficiency = {proto}"
+        f"** (target >= 0.8: {'MET' if (proto or 0) >= 0.8 else 'NOT MET on shared-bus hardware'})"
+        if proto is not None else
+        "Protocol pair 8->32 not in the level list for this run."
     )
     body = f"""# BENCH/BASELINE — two-parallelism scaling evidence
 
@@ -220,28 +252,39 @@ Same encode job (deterministic synth corpus, identical pre-materialized
 parquet input: {report['bench_docs']} docs / {report['tokens']:,} tokens) run at
 multiple parallelism levels on local[k] — the sandbox substitute for the
 N- vs 4N-executor cluster criterion (no real cluster available here).
-Best of {os.environ.get('EGGOPRESS_SCALING_REPEATS', '2')} runs per level; warmup encode excluded from timing.
+Warmup encode excluded from timing.
 
-| parallelism | wall (s) | tokens/sec |
-|---|---|---|
+Median of {os.environ.get('EGGOPRESS_SCALING_REPEATS', '3')} runs per level (run-to-run spread shown: this
+shared VM's host contention swings single-level throughput up to 2x,
+so medians, not best-of, feed the efficiency ratios).
+
+| parallelism | wall (s) | tokens/sec (median) | spread (min – max) |
+|---|---|---|---|
 {rows}
 
-**Scaling efficiency (N={n} -> 4N={n4}) = thr@{n4} / ({n4 // n} x thr@{n}) =
-{report['scaling_efficiency']}** (target >= 0.8: {'MET' if report['meets_0.8_target'] else 'NOT MET'})
+| 4x pair | efficiency = thr@4N / (4 x thr@N) | >= 0.8 |
+|---|---|---|
+{pair_rows}
 
-## Why N={n}: the single-host bandwidth ceiling
+{proto_line}
+
+Cluster-analog pair (local[1] -> local[4], below the bandwidth ceiling):
+efficiency = {report['pairs'].get('1->4')}.
+
+## Reading the pairs: the single-host bandwidth ceiling
 
 All local[k] workers share ONE memory bus. The full pipeline (parquet scan
 -> salted range shuffle -> Arrow -> vectorized codecs -> parquet write)
-moves each token through memory several times, and saturates this VM at
-roughly 25-35M tokens/sec regardless of added cores (see the measured
-curve above; beyond ~16 threads kernel-side contention additionally
-costs throughput). Per-core scaling is
-near-linear while below that ceiling, which is the regime that models a
-real multi-executor cluster — there, each executor brings its OWN memory
-bus, so N->4N executors multiplies bandwidth by 4, unlike N->4N threads
-on one host. The N={n} vs 4N={n4} pair is therefore the faithful sandbox
-analog; the saturation curve above is reported for full transparency.
+moves each token through memory several times and saturates this VM at
+roughly 25-35M tokens/sec regardless of added cores (measured curve
+above; beyond ~16 threads kernel-side contention additionally costs
+throughput). The 8->32 pair therefore measures bus saturation, not the
+engine's plan: both ends sit at the ceiling. Per-core scaling is
+near-linear while BELOW the ceiling — the 1->4 pair — and that is the
+regime that models a real multi-executor cluster, where each executor
+brings its OWN memory bus, so N->4N executors multiplies bandwidth by 4,
+unlike N->4N threads on one host. Both pairs are published; neither is
+substituted for the other.
 
 Engine knobs that implement cluster-proportional scaling:
 `conf.plan_submit` sizes shuffle partitions and encode partitions from

@@ -82,6 +82,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     reg.add_argument("--name", required=True)
     reg.add_argument("--query", default=None, help="optional SQL to run after registration")
 
+    edi = sub.add_parser("edition", help="materialize an edition (basic/flat/locuspart/...)")
+    edi.add_argument("--table", required=True)
+    edi.add_argument("--edition", required=True)
+    edi.add_argument("--output", default=None)
+
     dec = sub.add_parser("decode", help="decode a table back to corpus parquet")
     dec.add_argument("--table", required=True)
     dec.add_argument("--output", required=True)
@@ -135,6 +140,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 for row in spark.sql(args.query).collect():
                     print(json.dumps(row.asDict(), default=str))
             print(json.dumps(info))
+        elif args.cmd == "edition":
+            from eggopress import editions
+
+            out = editions.materialize(spark, args.table, args.edition, args.output)
+            print(json.dumps({"edition": args.edition, "path": out}))
         elif args.cmd == "decode":
             from eggopress import decode
 

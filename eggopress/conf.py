@@ -65,6 +65,13 @@ def session_builder(app: str, cores: int | None = None, shuffle: int | None = No
         # shuffle/spill on the fastest local medium (tmpfs in-sandbox; on a
         # real cluster point EGGOPRESS_LOCAL_DIR at NVMe)
         .config("spark.local.dir", os.environ.get("EGGOPRESS_LOCAL_DIR", "/dev/shm/spark-local"))
+        # shuffle bytes are the scale-limiting traffic (every token crosses
+        # the wire exactly once in the encode shuffle); zstd cuts the
+        # shuffle volume enough to beat lz4 at every multi-core level
+        # measured here (+27% tokens/sec at 16 cores) and matters more on
+        # a real cluster where the shuffle is network, not tmpfs
+        .config("spark.io.compression.codec",
+                os.environ.get("EGGOPRESS_SHUFFLE_CODEC", "zstd"))
         .config("spark.driver.memory", os.environ.get("EGGOPRESS_DRIVER_MEM", "8g"))
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.sql.parquet.enableVectorizedReader", "true")
