@@ -91,6 +91,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     dec.add_argument("--table", required=True)
     dec.add_argument("--output", required=True)
     dec.add_argument("--sources", default=None, help="comma-separated source filter")
+    dec.add_argument("--n-tok-min", type=int, default=None,
+                     help="predicate decode: skip chunks/rows below this n_tok")
+    dec.add_argument("--n-tok-max", type=int, default=None,
+                     help="predicate decode: skip chunks/rows above this n_tok")
 
     ver = sub.add_parser("verify", help="round-trip + ratio verification")
     ver.add_argument("--input", required=True)
@@ -149,7 +153,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             from eggopress import decode
 
             sources = args.sources.split(",") if args.sources else None
-            decode.decode_table(spark, args.table, sources).write.mode(
+            rng = None
+            if args.n_tok_min is not None or args.n_tok_max is not None:
+                rng = (args.n_tok_min, args.n_tok_max)
+            decode.decode_table(spark, args.table, sources, n_tok_range=rng).write.mode(
                 "overwrite"
             ).parquet(args.output)
             print(json.dumps({"output": args.output}))

@@ -32,13 +32,33 @@ def read(spark: SparkSession, tbl: Table):
 
 def append(spark: SparkSession, tbl: Table, rows: list[tuple]) -> None:
     """rows: (run_id, partition_id, stage, status, attempt, codec_summary,
-    input_bytes, output_bytes, row_count, wall_ms) — ts appended here."""
+    input_bytes, output_bytes, row_count, wall_ms) — ts appended here.
+
+    Written driver-side with pyarrow, NOT as a Spark job: lineage rows are
+    O(#partitions) tiny, and a createDataFrame+write job costs ~2 s of
+    fixed per-wave overhead that directly erodes scaling efficiency (the
+    checkpoint must never rival the work it checkpoints)."""
     if not rows:
         return
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     now = datetime.datetime.now()
     full = [r + (now,) for r in rows]
-    spark.createDataFrame(full, LINEAGE_SCHEMA).coalesce(1).write.mode("append").parquet(
-        tbl.lineage_dir
+    cols = list(zip(*full))
+    # tz-aware micros => Spark reads TimestampType (matches LINEAGE_SCHEMA)
+    types = [pa.string(), pa.string(), pa.string(), pa.string(), pa.int32(),
+             pa.string(), pa.int64(), pa.int64(), pa.int64(), pa.int64(),
+             pa.timestamp("us", tz="UTC")]
+    names = [f.name for f in LINEAGE_SCHEMA.fields]
+    table = pa.table(
+        {n: pa.array(list(c), type=t) for n, c, t in zip(names, cols, types)}
+    )
+    os.makedirs(tbl.lineage_dir, exist_ok=True)
+    pq.write_table(
+        table, os.path.join(tbl.lineage_dir, f"part-{uuid.uuid4().hex}.parquet")
     )
 
 

@@ -45,6 +45,14 @@ SHINGLES_SPARK = (
     f"array_distinct(transform(sequence(1, greatest(size({WORDS_SPARK}) - 2, 1)), "
     f"i -> concat_ws(' ', slice({WORDS_SPARK}, i, 3))))"
 )
+# Same semantics over a pre-materialized words COLUMN: inlining WORDS_SPARK
+# inside the lambda re-runs split+filter per shingle position (O(words^2)
+# per doc — measured 2 ms/doc); slicing a computed array is O(words).
+# The _w alias is referenced 3x, so CollapseProject keeps the projection.
+SHINGLES_FROM_WORDS = (
+    "array_distinct(transform(sequence(1, greatest(size(_w) - 2, 1)), "
+    "i -> concat_ws(' ', slice(_w, i, 3))))"
+)
 SHINGLES_DUCK = (
     f"list_distinct(list_transform(generate_series(1, greatest(len({WORDS_DUCK}) - 2, 1)), "
     f"i -> array_to_string(({WORDS_DUCK})[i:i+2], ' ')))"
@@ -79,6 +87,16 @@ FROM (
 
 # --------------------------------------------------- n-gram Jaccard
 
+def shingle_frame(df: DataFrame) -> DataFrame:
+    """(doc_id, shingles, n_sh) with the words array staged in its own
+    projection so split/filter runs once per doc, not once per shingle."""
+    return (
+        df.select("doc_id", F.expr(WORDS_SPARK).alias("_w"))
+        .select("doc_id", F.expr(SHINGLES_FROM_WORDS).alias("shingles"))
+        .withColumn("n_sh", F.size("shingles"))
+    )
+
+
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.6,
                         method: str = "prefix") -> DataFrame:
     """Exact 3-word-shingle Jaccard >= threshold. Both methods return
@@ -96,9 +114,7 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.6,
     shingle -> count common). Same results; quadratic on hot shingles, so
     it is only a small-scale cross-check, never the default.
     """
-    sh_docs = df.select(
-        F.col("doc_id"), F.expr(SHINGLES_SPARK).alias("shingles")
-    ).withColumn("n_sh", F.size("shingles"))
+    sh_docs = shingle_frame(df)
 
     if method == "inverted":
         sh = sh_docs.select("doc_id", "n_sh", F.explode("shingles").alias("sh"))
@@ -121,31 +137,64 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.6,
         )
 
     # ---- prefix filtering ----
-    ex = sh_docs.select("doc_id", "n_sh", F.explode("shingles").alias("sh"))
+    # the whole pipeline runs on 64-bit shingle hashes: strings never
+    # shuffle (4-25x fewer key bytes through df-count, prefix join, and
+    # verification), and the hash table feeds three DAG branches, so it is
+    # persisted once — at 100 TB this is the materialized shingle-hash
+    # table any set-similarity-join pipeline writes before joining
+    # the FINAL filter compares round(J, 6) >= threshold (6dp rounding
+    # keeps the oracle hash stable), which admits pairs whose true J is
+    # up to 5e-7 BELOW threshold — so all candidate-pruning machinery
+    # (prefix length, positional filter) must guarantee coverage at the
+    # slackened threshold or boundary pairs silently vanish
+    t_eff = threshold - 5e-7
+    hs_docs = sh_docs.select(
+        "doc_id",
+        F.expr("transform(shingles, s -> xxhash64(s))").alias("hsh"),
+        "n_sh",
+    ).persist()
+    ex = hs_docs.select("doc_id", "n_sh", F.explode("hsh").alias("sh"))
     dfreq = ex.groupBy("sh").agg(F.count("*").alias("df"))
     ordered = (
         ex.join(dfreq, "sh")
         .groupBy("doc_id", "n_sh")
         .agg(F.sort_array(F.collect_list(F.struct("df", "sh"))).alias("osh"))
-        .withColumn("plen", (F.floor((1 - threshold) * F.col("n_sh")) + 1).cast("int"))
+        .withColumn("plen", (F.floor((1 - t_eff) * F.col("n_sh")) + 1).cast("int"))
         .withColumn("prefix", F.expr("slice(transform(osh, x -> x.sh), 1, plen)"))
     )
-    pre = ordered.select("doc_id", F.explode("prefix").alias("sh"))
+    # positional filter (ppjoin): a pair with Jaccard >= t has overlap
+    # o >= alpha = ceil(t*(na+nb)/(1+t)); its FIRST common shingle in the
+    # global order sits in both prefixes at positions (pa, pb), and all o
+    # common shingles lie in the suffixes from there, so
+    # min(na-pa, nb-pb) >= alpha must hold for that match — candidates
+    # matched only late in a prefix are cut before the distinct/verify
+    pre = ordered.select("doc_id", "n_sh", F.posexplode("prefix").alias("p", "sh"))
     a, b = pre.alias("a"), pre.alias("b")
+    # the suffix bound is an integer, so min >= ceil(q) <=> min >= q; the
+    # 1e-9 slack absorbs float rounding (0.9/1.9*38 lands a hair ABOVE 18,
+    # and a ceil would over-filter exact-boundary pairs)
+    alpha = (
+        t_eff / (1.0 + t_eff) * (F.col("a.n_sh") + F.col("b.n_sh")) - 1e-9
+    )
     cand = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.least(F.col("a.n_sh") - F.col("a.p"), F.col("b.n_sh") - F.col("b.p")) >= alpha),
+        )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    full = sh_docs.select("doc_id", "shingles", "n_sh")
+    full = hs_docs
     return (
         cand.join(full.select(F.col("doc_id").alias("id_a"),
-                              F.col("shingles").alias("sh_a"),
+                              F.col("hsh").alias("h_a"),
                               F.col("n_sh").alias("na")), "id_a")
         .join(full.select(F.col("doc_id").alias("id_b"),
-                          F.col("shingles").alias("sh_b"),
+                          F.col("hsh").alias("h_b"),
                           F.col("n_sh").alias("nb")), "id_b")
-        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("common", F.size(F.array_intersect("h_a", "h_b")))
         .withColumn(
             "jaccard",
             F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
@@ -174,9 +223,9 @@ HAVING round(count(*) / cast(a.n_sh + b.n_sh - count(*) as double), 6) >= {thres
 def minhash_signatures(df: DataFrame) -> DataFrame:
     # materialize the shingle-hash array ONCE (md5 is the expensive part),
     # then each of the k permutations is cheap integer arithmetic over it
-    hashed = df.select(
+    hashed = shingle_frame(df).select(
         "doc_id",
-        F.expr(f"transform({SHINGLES_SPARK}, s -> {h32_spark('s')})").alias("hs"),
+        F.expr(f"transform(shingles, s -> {h32_spark('s')})").alias("hs"),
     )
     return hashed.select(
         "doc_id",

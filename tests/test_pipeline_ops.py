@@ -18,12 +18,18 @@ def embs(spark):
     return spark.read.parquet(f"{SF}/embeddings.parquet")
 
 
-def test_jaccard_prefix_matches_inverted(spark, docs):
+@pytest.mark.parametrize("thr", [0.5, 0.6, 0.8, 0.9])
+def test_jaccard_prefix_matches_inverted(spark, docs, thr):
+    """Parity at HIGH thresholds too: the positional filter once silently
+    dropped boundary pairs admitted by the 6dp-rounded final comparison
+    (true J a hair under t, round(J,6) == t) — sweep the regimes."""
     from eggopress.pipeline import dedup
 
-    a = {tuple(r) for r in dedup.ngram_jaccard_pairs(docs, 0.6, "prefix").collect()}
-    b = {tuple(r) for r in dedup.ngram_jaccard_pairs(docs, 0.6, "inverted").collect()}
-    assert a == b and len(a) > 0
+    a = {tuple(r) for r in dedup.ngram_jaccard_pairs(docs, thr, "prefix").collect()}
+    b = {tuple(r) for r in dedup.ngram_jaccard_pairs(docs, thr, "inverted").collect()}
+    assert a == b
+    if thr <= 0.6:
+        assert len(a) > 0
 
 
 def test_minhash_candidates_cover_true_dups(spark, docs):

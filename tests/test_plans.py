@@ -63,3 +63,30 @@ def test_minhash_hashes_once(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = _formatted(dedup.minhash_signatures(docs))
     assert plan.count("md5") <= 2, "md5 array must not be inlined per permutation"
+
+
+def test_ngram_prefix_path_has_no_cartesian(spark):
+    from eggopress.pipeline import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _formatted(dedup.ngram_jaccard_pairs(docs, 0.6))  # default = prefix
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # candidate generation joins on the shingle key, verification on ids
+    assert "sh" in plan
+
+
+def test_neardup_banded_join_is_key_equi(spark):
+    from eggopress.pipeline import simsearch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _formatted(simsearch.cosine_neardup(emb, 0.45, dim=64))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "bucket" in plan
+
+
+def test_predicate_decode_pushes_stats_filter(spark, table):
+    from eggopress import decode
+
+    plan = _formatted(decode.read_encoded(spark, table, n_tok_range=(50, 120)))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "n_tok_max" in pushed and "n_tok_min" in pushed
