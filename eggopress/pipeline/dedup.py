@@ -289,18 +289,24 @@ FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
 # ---------------------------------------------------------- SimHash
 
 def simhash(df: DataFrame) -> DataFrame:
-    """32-bit SimHash over word hashes (majority vote per bit)."""
+    """32-bit SimHash over word hashes (majority vote per bit).
+
+    The word-hash array is staged in its own projection and referenced by
+    32 per-bit aggregates: inlining md5 inside a per-bit lambda would
+    recompute every word hash 32x per doc (the multi-reference keeps
+    CollapseProject from re-inlining it — same fix as minhash)."""
     h = h32_spark("w")
-    bit = (
-        f"transform(sequence(0, 31), j -> "
-        f"case when aggregate({WORDS_SPARK}, 0L, "
-        f"(acc, w) -> acc + (shiftright({h}, j) & 1) * 2 - 1) > 0 "
-        f"then shiftleft(1L, j) else 0L end)"
-    )
-    return df.select(
-        "doc_id",
-        F.expr(f"aggregate({bit}, 0L, (acc, x) -> acc + x)").alias("simhash"),
-        "source",
+    bits = [
+        (
+            f"(case when aggregate(_hw, 0L, "
+            f"(acc, h) -> acc + (shiftright(h, {j}) & 1) * 2 - 1) > 0 "
+            f"then {1 << j}L else 0L end)"
+        )
+        for j in range(32)
+    ]
+    return (
+        df.select("doc_id", "source", F.expr(f"transform({WORDS_SPARK}, w -> {h})").alias("_hw"))
+        .select("doc_id", F.expr(" + ".join(bits)).alias("simhash"), "source")
     )
 
 
