@@ -148,7 +148,11 @@ def encode_table(
     run_id = run_id or uuid.uuid4().hex[:12]
     t0 = time.time()
     if not resume:
-        tbl.clear_state()
+        # non-destructive: demote the snapshot, move the previous table's
+        # data/manifest/lineage ASIDE (not delete) — if this encode dies,
+        # the old contents are still recoverable; they are purged only
+        # after the final 'encoded' snapshot commits below
+        tbl.retire_state(run_id)
 
     snap = tbl.snapshot()
     if resume and snap and "salts" in snap:
@@ -190,7 +194,7 @@ def encode_table(
     total_chunks = total_rows = total_values = total_raw = total_enc = 0
     attempts = lineagelib.attempt_counts(spark, tbl)
 
-    for wave in wave_groups:
+    for wave_idx, wave in enumerate(wave_groups):
         wave_pids = [str(p) for p in wave if p]
         if not wave_pids:
             continue
@@ -219,14 +223,23 @@ def encode_table(
                     .parquet(staging)
                 )
                 break
-            except Exception:
+            except Exception as exc:
+                # attribute the failure to the partition named in the task
+                # error when parseable; otherwise to a wave marker — never
+                # to every healthy partition in the wave (that over-reports
+                # their attempt counts and misattributes the failure)
+                import re as _re
+
+                m = _re.search(r"source=[^/\s']+/salt=\d+", str(exc))
+                failed_pids = [m.group(0)] if m and m.group(0) in wave_pids \
+                    else [f"wave:{wave_idx}"]
                 now_ms = int((time.time() - t0) * 1000)
                 lineagelib.append(spark, tbl, [
                     (run_id, pid, "encode", "failed", attempts.get(pid, 0) + 1,
                      None, None, None, None, now_ms)
-                    for pid in wave_pids
+                    for pid in failed_pids
                 ])
-                for pid in wave_pids:
+                for pid in failed_pids:
                     attempts[pid] = attempts.get(pid, 0) + 1
                 if try_no >= max(0, retries):
                     raise
@@ -283,7 +296,7 @@ def encode_table(
                 )
         lineagelib.append(spark, tbl, lineage_rows)
 
-    tbl.commit_snapshot(
+    final_version = tbl.commit_snapshot(
         {
             "stage": "encoded",
             "salts": salts,
@@ -297,8 +310,12 @@ def encode_table(
             },
         }
     )
+    # the replacing table is now the committed truth — only NOW is it safe
+    # to drop the previous table's retired contents
+    tbl.purge_retired()
     return {
         "run_id": run_id,
+        "snapshot_version": final_version,
         "partitions": len(todo),
         "skipped": len(done),
         "chunks": int(total_chunks),

@@ -45,7 +45,10 @@ def append(spark: SparkSession, tbl: Table, rows: list[tuple]) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    now = datetime.datetime.now()
+    # tz-aware now: pyarrow treats NAIVE datetimes as UTC when writing a
+    # tz=UTC column, so a naive local-time value would shift by the host's
+    # UTC offset on any non-UTC machine
+    now = datetime.datetime.now(datetime.timezone.utc)
     full = [r + (now,) for r in rows]
     cols = list(zip(*full))
     # tz-aware micros => Spark reads TimestampType (matches LINEAGE_SCHEMA)

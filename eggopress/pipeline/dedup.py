@@ -12,10 +12,13 @@ Scale notes (the 100 TB story):
   - minhash-LSH: signatures per doc (narrow), explode to (band, key)
     buckets, pairs within buckets — the classic shuffle-light candidate
     generation; banding parameters tune recall.
-  - simhash: 32-bit majority-vote fingerprint; simhash_pairs generates
-    hamming-ball candidates from 4x8-bit band buckets (pigeonhole: any
+  - simhash: 64-bit majority-vote fingerprint; simhash_pairs generates
+    hamming-ball candidates from 4x16-bit band buckets (pigeonhole: any
     pair within hamming distance 3 matches at least one band exactly, so
-    recall is 100%, not approximate) and verifies with popcount(xor).
+    recall is 100%, not approximate; 65,536 buckets per band keeps the
+    band self-join sub-quadratic) and verifies with popcount(xor).
+  - banded joins (minhash / simhash / cosine) accept max_bucket_rows:
+    mega-duplicate groups otherwise make m^2/2 candidates per band.
   - embedding cosine: see simsearch.py for the bucketed ANN path.
 
 All hash arithmetic uses the md5-prefix h32 so the DuckDB oracle can
@@ -23,6 +26,9 @@ replicate results exactly.
 """
 
 from __future__ import annotations
+
+import logging
+import os
 
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
@@ -32,6 +38,7 @@ from eggopress.pipeline.textstats import (
     WORDS_SPARK,
     h32_duck,
     h32_spark,
+    h32b_duck,
 )
 
 MINHASH_K = 16
@@ -57,6 +64,62 @@ SHINGLES_DUCK = (
     f"list_distinct(list_transform(generate_series(1, greatest(len({WORDS_DUCK}) - 2, 1)), "
     f"i -> array_to_string(({WORDS_DUCK})[i:i+2], ' ')))"
 )
+
+
+log = logging.getLogger("eggopress.dedup")
+
+
+def shed_big_buckets(banded: DataFrame, max_bucket_rows: int | None,
+                     what: str, bucket_col: str = "bucket") -> DataFrame:
+    """Bucket-size guard for banded LSH joins: a mega-duplicate group of m
+    docs (ubiquitous boilerplate in web crawls) shares every band and would
+    yield m^2/2 candidate pairs per band. With a cap, buckets holding more
+    than max_bucket_rows rows are SHED (dropped from candidate generation,
+    with the shed bucket/row counts logged) — the scale-safe posture is to
+    route such groups through exact_dedup first, which collapses them for
+    one shuffle instead of m^2 candidate pairs.
+
+    The over-cap bucket keys are collected to the driver: their count is
+    bounded by n_rows / max_bucket_rows, and the filter back-broadcasts as
+    a NOT IN, so no extra shuffle is added to the main plan.
+    """
+    if max_bucket_rows is None:
+        return banded
+    big = (
+        banded.groupBy(bucket_col)
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > max_bucket_rows)
+        .collect()
+    )
+    if not big:
+        return banded
+    keys = [r[bucket_col] for r in big]
+    shed_rows = sum(r["_n"] for r in big)
+    log.warning(
+        "%s: shedding %d over-cap buckets (>%d rows, %d rows total) from "
+        "candidate generation", what, len(keys), max_bucket_rows, shed_rows,
+    )
+    return banded.filter(~F.col(bucket_col).isin(keys))
+
+
+def _materialize_scratch(df: DataFrame) -> DataFrame:
+    """Write a DataFrame once to scratch parquet and return a reader over
+    it. Used where a plan feeds multiple DAG branches: unlike .persist(),
+    nothing is left registered in executor storage memory after the
+    consuming action (repeated pipeline calls in a long-lived session must
+    not accumulate cached DataFrames). The scratch dir lives on the fastest
+    local medium and is removed at process exit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    base = os.environ.get("EGGOPRESS_LOCAL_DIR", "/dev/shm")
+    if not os.path.isdir(base):
+        base = None  # tempfile default
+    d = tempfile.mkdtemp(prefix="eggopress-scratch-", dir=base)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    df.write.mode("overwrite").parquet(d)
+    return df.sparkSession.read.parquet(d)
 
 
 # ------------------------------------------------------------- exact
@@ -140,19 +203,24 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.6,
     # the whole pipeline runs on 64-bit shingle hashes: strings never
     # shuffle (4-25x fewer key bytes through df-count, prefix join, and
     # verification), and the hash table feeds three DAG branches, so it is
-    # persisted once — at 100 TB this is the materialized shingle-hash
-    # table any set-similarity-join pipeline writes before joining
+    # materialized ONCE as scratch parquet and re-read — exactly the
+    # shingle-hash table any 100 TB set-similarity-join pipeline writes
+    # before joining. (A .persist() here would leak cached storage for the
+    # session lifetime, because the returned plan is lazy and there is no
+    # point at which the operator could safely unpersist.)
     # the FINAL filter compares round(J, 6) >= threshold (6dp rounding
     # keeps the oracle hash stable), which admits pairs whose true J is
     # up to 5e-7 BELOW threshold — so all candidate-pruning machinery
     # (prefix length, positional filter) must guarantee coverage at the
     # slackened threshold or boundary pairs silently vanish
     t_eff = threshold - 5e-7
-    hs_docs = sh_docs.select(
-        "doc_id",
-        F.expr("transform(shingles, s -> xxhash64(s))").alias("hsh"),
-        "n_sh",
-    ).persist()
+    hs_docs = _materialize_scratch(
+        sh_docs.select(
+            "doc_id",
+            F.expr("transform(shingles, s -> xxhash64(s))").alias("hsh"),
+            "n_sh",
+        )
+    )
     ex = hs_docs.select("doc_id", "n_sh", F.explode("hsh").alias("sh"))
     dfreq = ex.groupBy("sh").agg(F.count("*").alias("df"))
     ordered = (
@@ -238,8 +306,12 @@ def minhash_signatures(df: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(df: DataFrame) -> DataFrame:
-    """Candidate pairs sharing at least one LSH band bucket."""
+def minhash_lsh_pairs(df: DataFrame, max_bucket_rows: int | None = None) -> DataFrame:
+    """Candidate pairs sharing at least one LSH band bucket.
+
+    max_bucket_rows (the 100 TB guard): mega-duplicate groups share all
+    bands, so one m-doc boilerplate cluster makes m^2/2 candidates per
+    band; over-cap buckets are shed (logged) — see shed_big_buckets."""
     sig = minhash_signatures(df)
     rows_per_band = MINHASH_K // MINHASH_BANDS
     band_cols = [
@@ -251,6 +323,7 @@ def minhash_lsh_pairs(df: DataFrame) -> DataFrame:
         for j in range(MINHASH_BANDS)
     ]
     banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bucket"))
+    banded = shed_big_buckets(banded, max_bucket_rows, "minhash_lsh_pairs")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -289,38 +362,64 @@ FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
 # ---------------------------------------------------------- SimHash
 
 def simhash(df: DataFrame) -> DataFrame:
-    """32-bit SimHash over word hashes (majority vote per bit).
+    """64-bit SimHash over word hashes (majority vote per bit).
 
-    The word-hash array is staged in its own projection and referenced by
-    32 per-bit aggregates: inlining md5 inside a per-bit lambda would
-    recompute every word hash 32x per doc (the multi-reference keeps
-    CollapseProject from re-inlining it — same fix as minhash)."""
-    h = h32_spark("w")
-    bits = [
-        (
-            f"(case when aggregate(_hw, 0L, "
-            f"(acc, h) -> acc + (shiftright(h, {j}) & 1) * 2 - 1) > 0 "
-            f"then {1 << j}L else 0L end)"
+    64 bits (not 32): the band self-join in simhash_pairs buckets on
+    16-bit bands, and 16-bit bands only exist on a 64-bit fingerprint —
+    with 8-bit bands (the 32-bit variant) every band has just 256 buckets,
+    so the candidate join is Theta(n^2/256) per band at ANY corpus size.
+
+    One md5 per word, staged as _m and referenced by two hash-extraction
+    projections (_h1 = hex chars 1-8 -> bits 0..31, _h2 = chars 9-16 ->
+    bits 32..63), each referenced by 32 per-bit aggregates: inlining md5
+    inside a per-bit lambda would recompute every word hash 64x per doc
+    (CollapseProject keeps multi-referenced non-cheap projections staged —
+    same fix as minhash).
+
+    Bit 63's value is shiftleft(1L, 63) == min-long; bit values are
+    disjoint powers of two, so their sum never overflows (the positive
+    part is <= 2^63-1 and the single negative term only brings it down) —
+    identical two's-complement arithmetic in Spark and the DuckDB oracle.
+    """
+    bits = []
+    for j in range(64):
+        arr, b = ("_h1", j) if j < 32 else ("_h2", j - 32)
+        val = "shiftleft(1L, 63)" if j == 63 else f"{1 << j}L"
+        bits.append(
+            f"(case when aggregate({arr}, 0L, "
+            f"(acc, h) -> acc + (shiftright(h, {b}) & 1) * 2 - 1) > 0 "
+            f"then {val} else 0L end)"
         )
-        for j in range(32)
-    ]
     return (
-        df.select("doc_id", "source", F.expr(f"transform({WORDS_SPARK}, w -> {h})").alias("_hw"))
+        df.select("doc_id", "source",
+                  F.expr(f"transform({WORDS_SPARK}, w -> md5(w))").alias("_m"))
+        .select(
+            "doc_id", "source",
+            F.expr("transform(_m, m -> cast(conv(substring(m, 1, 8), 16, 10) as bigint))").alias("_h1"),
+            F.expr("transform(_m, m -> cast(conv(substring(m, 9, 8), 16, 10) as bigint))").alias("_h2"),
+        )
         .select("doc_id", F.expr(" + ".join(bits)).alias("simhash"), "source")
     )
 
 
 SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 16
 
 
-def simhash_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-duplicate pairs whose 32-bit SimHashes differ in <= max_hamming
-    bits. Candidates come from 4x8-bit band buckets — by pigeonhole a pair
+def simhash_pairs(df: DataFrame, max_hamming: int = 3,
+                  max_bucket_rows: int | None = None) -> DataFrame:
+    """Near-duplicate pairs whose 64-bit SimHashes differ in <= max_hamming
+    bits. Candidates come from 4x16-bit band buckets — by pigeonhole a pair
     within hamming distance 3 (< n_bands) agrees exactly on at least one
     band, so this is an EXACT hamming-ball join, not an approximation —
-    then popcount(xor) verifies. One shuffle on the band key; per-bucket
-    cardinality is bounded by the fingerprint distribution (256 buckets
-    per band over a majority-vote hash, near-uniform on non-dup corpora).
+    then popcount(xor) verifies.
+
+    Scale math: one shuffle on the band key; each band has 2^16 = 65,536
+    buckets over a majority-vote fingerprint (near-uniform on non-dup
+    corpora), so expected candidate volume is ~ 4 * n^2 / 2^17 — 256x less
+    than the 8-bit-band variant at the same n. Residual mega-buckets
+    (giant exact-dup groups hash to one fingerprint) are bounded by
+    max_bucket_rows — see shed_big_buckets.
 
     max_hamming must stay < SIMHASH_BANDS for the pigeonhole guarantee.
     """
@@ -331,12 +430,16 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
         F.explode(
             F.array(
                 *[
-                    F.expr(f"concat('{j}:', cast(shiftright(simhash, {8 * j}) & 255 as string))")
+                    F.expr(
+                        f"concat('{j}:', cast(shiftright(simhash, {SIMHASH_BAND_BITS * j})"
+                        f" & {(1 << SIMHASH_BAND_BITS) - 1} as string))"
+                    )
                     for j in range(SIMHASH_BANDS)
                 ]
             )
         ).alias("bucket"),
     )
+    banded = shed_big_buckets(banded, max_bucket_rows, "simhash_pairs")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -351,8 +454,9 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 
 def simhash_pairs_oracle(max_hamming: int = 3) -> str:
+    mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = ", ".join(
-        f"concat('{j}:', cast((simhash >> {8 * j}) & 255 as varchar))"
+        f"concat('{j}:', cast((simhash >> {SIMHASH_BAND_BITS * j}) & {mask} as varchar))"
         for j in range(SIMHASH_BANDS)
     )
     return f"""
@@ -365,21 +469,26 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
 
 
-SIMHASH_ORACLE_BODY = f"""
+# DuckDB errors on 1::BIGINT << 63 (overflow-checked shift), so bit 63's
+# value is the min-long literal; the per-word md5 halves are hoisted into
+# the wh CTE so the 64 per-bit passes reuse them (the same staging the
+# Spark side does with _h1/_h2)
+_SIMHASH_BODY_CORE = f"""
 SELECT doc_id,
-       cast(list_sum(list_transform(generate_series(0, 31), j ->
-         CASE WHEN list_sum(list_transform({WORDS_DUCK}, w ->
-             (({h32_duck('w')} >> j) & 1) * 2 - 1)) > 0
-         THEN (cast(1 as bigint) << j) ELSE 0 END)) as bigint) AS simhash
-FROM documents
+       cast(list_sum(list_transform(generate_series(0, 63), j ->
+         CASE WHEN list_sum(list_transform(
+                 CASE WHEN j < 32 THEN h1 ELSE h2 END,
+                 h -> ((h >> (j % 32)) & 1) * 2 - 1)) > 0
+         THEN (CASE WHEN j = 63 THEN (-9223372036854775808)::BIGINT
+               ELSE (1::BIGINT << j) END)
+         ELSE 0 END)) as bigint) AS simhash,
+       source
+FROM (SELECT doc_id, source,
+             list_transform({WORDS_DUCK}, w -> {h32_duck('w')}) AS h1,
+             list_transform({WORDS_DUCK}, w -> {h32b_duck('w')}) AS h2
+      FROM documents)
 """
 
-SIMHASH_ORACLE = f"""
-SELECT doc_id,
-       cast(list_sum(list_transform(generate_series(0, 31), j ->
-         CASE WHEN list_sum(list_transform({WORDS_DUCK}, w ->
-             (({h32_duck('w')} >> j) & 1) * 2 - 1)) > 0
-         THEN (cast(1 as bigint) << j) ELSE 0 END)) as bigint) AS simhash,
-       source
-FROM documents
-"""
+SIMHASH_ORACLE_BODY = f"SELECT doc_id, simhash FROM ({_SIMHASH_BODY_CORE})"
+
+SIMHASH_ORACLE = _SIMHASH_BODY_CORE

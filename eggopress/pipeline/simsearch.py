@@ -19,6 +19,8 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
+from eggopress.pipeline.dedup import shed_big_buckets as _shed_big_buckets
+
 N_PLANES = 8
 NEARDUP_BANDS = 16
 NEARDUP_BITS = 4
@@ -168,8 +170,21 @@ def _neardup_bucket_exprs(dim: int, n_bands: int, bits: int, dialect: str) -> li
     return out
 
 
+def auto_bits_per_band(n_rows: int, target_bucket_rows: int = 64) -> int:
+    """The documented banding policy made executable: bits_per_band =
+    log2(n / target_bucket_rows), clamped to [1, 24]. At n=1e10 docs and
+    target buckets of 1k rows this picks 23 bits — per-band buckets stay
+    bounded no matter the corpus size."""
+    import math
+
+    return max(1, min(24, int(round(math.log2(max(n_rows, 2) / max(target_bucket_rows, 1))))))
+
+
 def cosine_neardup(df: DataFrame, threshold: float = 0.95, *, dim: int = 64,
-                   n_bands: int = NEARDUP_BANDS, bits_per_band: int = NEARDUP_BITS) -> DataFrame:
+                   n_bands: int = NEARDUP_BANDS,
+                   bits_per_band: int | str = NEARDUP_BITS,
+                   max_bucket_rows: int | None = None,
+                   target_bucket_rows: int = 64) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= threshold) via banded
     multi-probe hyperplane LSH: each vector emits one sign-bit key per
     band; pairs sharing ANY band bucket are candidates, verified exactly.
@@ -178,15 +193,35 @@ def cosine_neardup(df: DataFrame, threshold: float = 0.95, *, dim: int = 64,
     rows into 2^bits buckets (expected bucket size n / 2^bits), so the
     candidate join produces ~ n_bands * n^2 / 2^(bits+1) pairs with NO
     dependence on data skew beyond the hyperplane margins. At 100 TB,
-    bits_per_band scales as log2(n / target_bucket_rows) and n_bands is
+    bits_per_band scales as log2(n / target_bucket_rows) — pass
+    bits_per_band="auto" to derive it from a count() — and n_bands is
     then chosen for recall: p_band = (1 - theta/pi)^bits, recall =
     1 - (1 - p_band)^n_bands. The bucket string is a natural partition
     key — each band bucket's pairs compute locally after one shuffle.
+    max_bucket_rows shears off degenerate mega-buckets (e.g. a zero-vector
+    pile-up that defeats the hyperplane split); shed buckets are logged.
+
+    dim must equal size(embedding) for every row: a mismatch would make
+    zip_with pad with nulls and collapse every band key to one constant,
+    silently degrading the join to a cross product — so it raises instead.
     """
-    exprs = _neardup_bucket_exprs(dim, n_bands, bits_per_band, "spark")
-    banded = df.select(
+    if bits_per_band == "auto":
+        bits_per_band = auto_bits_per_band(df.count(), target_bucket_rows)
+    exprs = _neardup_bucket_exprs(dim, n_bands, int(bits_per_band), "spark")
+    checked = df.filter(
+        F.when(F.size("embedding") == dim, F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"cosine_neardup: dim mismatch: expected {dim}, got "),
+                    F.size("embedding").cast("string"),
+                )
+            ).cast("boolean")
+        )
+    )
+    banded = checked.select(
         "vec_id", F.explode(F.array(*[F.expr(e) for e in exprs])).alias("bucket")
     )
+    banded = _shed_big_buckets(banded, max_bucket_rows, "cosine_neardup")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))

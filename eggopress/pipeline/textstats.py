@@ -38,6 +38,17 @@ def h32_duck(s: str) -> str:
     return f"cast('0x' || substr(md5({s}), 1, 8) as bigint)"
 
 
+def h32b_spark(s: str) -> str:
+    """Second independent 32 bits from the same md5 (hex chars 9-16) —
+    together with h32 this gives 64 dialect-identical hash bits per value
+    without a second digest computation."""
+    return f"cast(conv(substring(md5({s}), 9, 8), 16, 10) as bigint)"
+
+
+def h32b_duck(s: str) -> str:
+    return f"cast('0x' || substr(md5({s}), 9, 8) as bigint)"
+
+
 TOKENS_SPARK = f"transform({WORDS_SPARK}, w -> cast({tok_spark('w')} as int))"
 TOKENS_DUCK = f"list_transform({WORDS_DUCK}, w -> cast({tok_duck('w')} as int))"
 

@@ -79,6 +79,41 @@ class Table:
                 if ent.startswith("_staging_"):
                     shutil.rmtree(os.path.join(self.path, ent), ignore_errors=True)
 
+    def retire_state(self, run_id: str) -> str | None:
+        """Non-destructive fresh-encode prep: demote the snapshot FIRST
+        (readers gating on stage='encoded' must never see a valid snapshot
+        over dirs in flux), then move data/manifest/lineage ASIDE into a
+        _retired_<run_id> dir instead of deleting them. If the new encode
+        fails or is interrupted, the previous table contents are still on
+        disk; purge_retired() deletes them only after the new 'encoded'
+        snapshot commits. Stale _staging_ dirs are dropped (they were never
+        promoted, so nothing of value lives there). Returns the retired
+        dir, or None when there was nothing to retire."""
+        if self.snapshot() is not None:
+            self.commit_snapshot({"stage": "retiring", "run_id": run_id,
+                                  "schema": "corpus_v1"})
+        retired = os.path.join(self.path, f"_retired_{run_id}")
+        moved = False
+        for d in (self.data_dir, self.manifest_dir, self.lineage_dir):
+            if os.path.isdir(d):
+                os.makedirs(retired, exist_ok=True)
+                os.replace(d, os.path.join(retired, os.path.basename(d)))
+                moved = True
+        if os.path.isdir(self.path):
+            for ent in os.listdir(self.path):
+                if ent.startswith("_staging_"):
+                    shutil.rmtree(os.path.join(self.path, ent), ignore_errors=True)
+        return retired if moved else None
+
+    def purge_retired(self) -> None:
+        """Delete all _retired_* dirs — called only after the replacing
+        encode's final 'encoded' snapshot has committed."""
+        if not os.path.isdir(self.path):
+            return
+        for ent in os.listdir(self.path):
+            if ent.startswith("_retired_"):
+                shutil.rmtree(os.path.join(self.path, ent), ignore_errors=True)
+
     # ------------------------------------------------- partition commits
 
     def staging_dir(self, run_id: str) -> str:

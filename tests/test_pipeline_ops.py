@@ -56,8 +56,112 @@ def test_simhash_close_for_duplicates(spark, docs):
         for r in dedup.ngram_jaccard_pairs(docs, 0.95, "inverted").collect()
     }
     for a, b in dup:
+        # 64-bit fingerprints: expected flips ~2x the old 32-bit variant
         ham = bin(sh[a] ^ sh[b]).count("1")
-        assert ham <= 6, f"simhash hamming {ham} for near-identical pair {(a, b)}"
+        assert ham <= 12, f"simhash hamming {ham} for near-identical pair {(a, b)}"
+
+
+_BOILER = ("qzx wvk jjq mmz ppl qqr ttx uuv wwy zzk " * 4).strip()
+
+
+def _planted_dup_docs(spark, docs, n_copies=500):
+    """docs plus a planted mega-duplicate group: n_copies rows sharing one
+    synthetic boilerplate text (the web-crawl scenario the bucket guards
+    exist for). The nonsense words guarantee the clones only collide with
+    each other, never with real fixture docs."""
+    clones = spark.range(n_copies).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.lit("boiler").alias("source"),
+        F.lit(_BOILER).alias("text"),
+        F.lit(len(_BOILER)).alias("n_chars"),
+        F.lit("en").alias("lang"),
+    )
+    return docs.select("doc_id", "source", "text", "n_chars", "lang").union(clones)
+
+
+def test_bucket_guard_bounds_minhash_candidates(spark, docs):
+    """A 500-doc exact-dup group makes ~125k candidate pairs per band
+    unguarded; with the cap those buckets are shed and candidate volume
+    stays bounded, while pairs outside the mega group are unaffected."""
+    from eggopress.pipeline import dedup
+
+    poisoned = _planted_dup_docs(spark, docs, 500)
+    unguarded_baseline = {
+        (r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(docs).collect()
+    }
+    guarded = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(poisoned, max_bucket_rows=50).collect()
+    }
+    planted = {p for p in guarded if p[0] >= 1_000_000 or p[1] >= 1_000_000}
+    assert not planted, "mega-bucket pairs must be shed by the guard"
+    assert guarded == unguarded_baseline  # non-mega pairs unaffected
+
+
+def test_bucket_guard_simhash_and_cosine(spark, docs, embs):
+    from eggopress.pipeline import dedup, simsearch
+
+    poisoned = _planted_dup_docs(spark, docs, 300)
+    guarded = dedup.simhash_pairs(poisoned, 3, max_bucket_rows=50)
+    planted = guarded.filter((F.col("id_a") >= 1_000_000) | (F.col("id_b") >= 1_000_000))
+    assert planted.count() == 0
+
+    # cosine guard: clone one embedding 300x -> its buckets exceed the cap
+    one = embs.limit(1).select("embedding")
+    clones = (
+        spark.range(300).crossJoin(one)
+        .select((F.col("id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    poisoned_e = embs.select("vec_id", "embedding").union(clones)
+    out = simsearch.cosine_neardup(poisoned_e, 0.99, dim=64, max_bucket_rows=50)
+    assert out.filter((F.col("id_a") >= 1_000_000) & (F.col("id_b") >= 1_000_000)).count() == 0
+
+
+def test_jaccard_leaves_no_persisted_rdds(spark, docs):
+    """The prefix path materializes its shingle-hash table to scratch
+    parquet, NOT .persist(): after the consuming action completes, executor
+    storage memory must be empty (repeated calls must not accumulate)."""
+    from eggopress.pipeline import dedup
+
+    dedup.ngram_jaccard_pairs(docs, 0.6, "prefix").count()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_cosine_neardup_raises_on_dim_mismatch(spark, embs):
+    from eggopress.pipeline import simsearch
+
+    with pytest.raises(Exception, match="dim mismatch"):
+        simsearch.cosine_neardup(embs, 0.9, dim=32).count()
+
+
+def test_cosine_neardup_auto_bits_recall(spark):
+    """Planted near-dup pairs (cos >= 0.99) must be recalled at least at
+    the docstring's formula rate under auto-derived banding."""
+    import math
+
+    import numpy as np
+    from eggopress.pipeline import simsearch
+
+    rng = np.random.default_rng(99)
+    base = rng.normal(size=(60, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # 20 perturbed copies of the first 20 vectors -> planted pairs (i, 100+i)
+    pert = base[:20] + rng.normal(scale=0.02, size=(20, 64))
+    pert /= np.linalg.norm(pert, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    rows += [(100 + i, [float(x) for x in v]) for i, v in enumerate(pert)]
+    embs2 = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    out = simsearch.cosine_neardup(embs2, 0.95, dim=64, bits_per_band="auto")
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    planted = {(i, 100 + i) for i in range(20)}
+    hit = len(planted & got)
+    bits = simsearch.auto_bits_per_band(80)
+    theta = math.acos(0.95)
+    p_band = (1 - theta / math.pi) ** bits
+    expected = 1 - (1 - p_band) ** simsearch.NEARDUP_BANDS
+    # formula bound with sampling slack (20 Bernoulli trials)
+    assert hit / len(planted) >= expected - 0.15, (hit, expected, bits)
 
 
 def test_lsh_topk_subset_of_brute(spark, embs):

@@ -83,6 +83,39 @@ def test_resume_noop_when_complete(spark, corpus, tmp_path):
     assert summary["skipped"] > 0
 
 
+def test_fresh_reencode_is_non_destructive(spark, corpus, tmp_path):
+    """A fresh (non-resume) re-encode must not destroy the previous good
+    table before the replacement commits: the old data is retired ASIDE,
+    the snapshot is demoted (so stage-gated readers never see 'encoded'
+    over dirs in flux), and only a successful final commit purges it."""
+    import os
+
+    path = str(tmp_path / "tbl_nondestructive")
+    encode.encode_table(spark, corpus, path, n_partitions=4)
+    tbl = Table(path)
+    assert tbl.snapshot()["stage"] == "encoded"
+
+    # poisoned fresh re-encode dies before anything commits
+    pids = partition_ids(tbl.snapshot()["salts"])
+    with pytest.raises(Exception):
+        encode.encode_table(
+            spark, corpus, path, n_partitions=4,
+            fail_partitions=frozenset(pids),
+        )
+    snap = tbl.snapshot()
+    assert snap["stage"] != "encoded", "readers must not see a valid snapshot"
+    retired = [e for e in os.listdir(path) if e.startswith("_retired_")]
+    assert retired, "previous table contents must survive the failed encode"
+    retired_data = os.path.join(path, retired[0], "data")
+    assert os.path.isdir(retired_data) and os.listdir(retired_data)
+
+    # a clean re-encode replaces the table and purges the retired copy
+    encode.encode_table(spark, corpus, path, n_partitions=4)
+    assert tbl.snapshot()["stage"] == "encoded"
+    assert not [e for e in os.listdir(path) if e.startswith("_retired_")]
+    assert decode.decode_table(spark, path).count() == N_DOCS
+
+
 def test_deterministic_reencode(spark, corpus, tmp_path):
     """Codec choice + chunking depend only on content: re-encoding a
     partition reproduces identical blobs (resume determinism)."""
