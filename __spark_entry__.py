@@ -156,6 +156,57 @@ def _q_edition_flat_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _manifest_ingest_table(spark: SparkSession, sf_dir: str) -> str:
+    """Fixture for S2 manifest ingest: split the documents table into two
+    resources by doc_id parity — 'evens' as gzip'd jsonl, 'odds' as plain
+    jsonl — write a datapackage manifest, ingest once; cached on disk."""
+    import gzip
+    import json
+
+    import pyarrow.parquet as pq
+
+    from eggopress import ingest
+    from eggopress.tablefmt import Table
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = os.path.join(SCRATCH, f"ing_{key}")
+    table = os.path.join(root, "tbl")
+    if (Table(table).snapshot() or {}).get("stage") != "encoded":
+        os.makedirs(root, exist_ok=True)
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+        ids, texts = t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        with gzip.open(os.path.join(root, "evens.jsonl.gz"), "wt") as f:
+            f.write("\n".join(json.dumps({"text": x})
+                              for i, x in zip(ids, texts) if i % 2 == 0))
+        with open(os.path.join(root, "odds.jsonl"), "w") as f:
+            f.write("\n".join(json.dumps({"text": x})
+                              for i, x in zip(ids, texts) if i % 2 == 1))
+        with open(os.path.join(root, "datapackage.json"), "w") as f:
+            json.dump({"name": "gate", "resources": [
+                {"name": "evens", "path": "evens.jsonl.gz", "format": "jsonl",
+                 "compression": "gzip"},
+                {"name": "odds", "path": "odds.jsonl", "format": "jsonl"},
+            ]}, f)
+        docs = ingest.load_manifest_documents(
+            spark, os.path.join(root, "datapackage.json"))
+        ingest.ingest_table(spark, docs, table, n_partitions=4)
+    return table
+
+
+def _q_manifest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S2: datapackage-manifest multi-resource ingest (gzip + plain)
+    -> encode -> decode rollup. Content-addressed ids collapse exact dups
+    per resource, so the oracle aggregates DISTINCT (resource, text)."""
+    from eggopress import decode
+
+    table = _manifest_ingest_table(spark, sf_dir)
+    return decode.decode_table(spark, table).groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_tok").cast("long")).alias("n_tok_sum"),
+    )
+
+
 def _q_skew_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "documents")
@@ -331,6 +382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v1_lineage": _q_lineage,
         "p2_predicate_decode": _q_predicate_decode,
         "edition_flat_rollup": _q_edition_flat_rollup,
+        "s2_manifest_ingest": _q_manifest_ingest,
         "d1_skew_source_counts": _q_skew_source_counts,
         "d3_salt_plan": _q_salt_plan,
         "p3_derived_partition_key": _q_derived_partition_key,
@@ -386,6 +438,14 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(len({textstats.WORDS_DUCK})) as bigint) AS n_pos,
                    cast(sum(coalesce(list_sum({textstats.TOKENS_DUCK}), 0)) as bigint) AS token_sum
             FROM documents GROUP BY source
+        """,
+        "s2_manifest_ingest": f"""
+            SELECT source, count(*) AS n_docs, cast(sum(n_tok) as bigint) AS n_tok_sum
+            FROM (SELECT DISTINCT
+                    CASE WHEN doc_id % 2 = 0 THEN 'evens' ELSE 'odds' END AS source,
+                    text, len({textstats.WORDS_DUCK}) AS n_tok
+                  FROM documents)
+            GROUP BY source
         """,
         "d1_skew_source_counts": "SELECT source, count(*) AS n FROM documents GROUP BY source",
         "d3_salt_plan": """

@@ -25,35 +25,6 @@ def _load_input(spark, spec: str):
     return spark.read.parquet(spec)
 
 
-def _load_documents(spark, path: str, fmt: str, source: str | None):
-    """Raw-corpus readers for ingest (reference S2, eggo/operations.py:39-85):
-    jsonl/text/parquet -> (doc_id, text, source) documents."""
-    import os as _os
-
-    from pyspark.sql import functions as F
-
-    if fmt == "jsonl":
-        df = spark.read.json(path)
-    elif fmt == "text":
-        df = spark.read.text(path).withColumnRenamed("value", "text")
-    elif fmt == "parquet":
-        df = spark.read.parquet(path)
-    else:
-        raise ValueError(f"unknown ingest format: {fmt}")
-    if "text" not in df.columns:
-        raise ValueError(f"ingest input has no 'text' column: {df.columns}")
-    if "source" not in df.columns or source:
-        df = df.withColumn(
-            "source", F.lit(source or _os.path.basename(path).split(".")[0])
-        )
-    if "doc_id" not in df.columns:
-        # deterministic content-addressed id (the eggo staging-name trick,
-        # eggo/util.py:81-90): exact-duplicate rows collapse at ingest
-        df = df.withColumn("doc_id", F.md5(F.concat_ws("\x1f", "source", "text"))) \
-               .dropDuplicates(["doc_id"])
-    return df.select("doc_id", "text", "source")
-
-
 def main(argv: list[str] | None = None, spark=None) -> int:
     """CLI entry. `spark` injects an existing session (tests); when None a
     session is created and stopped here (spark-submit path)."""
@@ -71,11 +42,27 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     ing = sub.add_parser(
         "ingest", help="raw corpus (jsonl/text/parquet docs) -> tokenize -> encoded table"
     )
-    ing.add_argument("--input", required=True)
+    ing.add_argument("--input", default=None, help="one resource path (or use --manifest)")
+    ing.add_argument("--manifest", default=None,
+                     help="datapackage-style JSON listing resources "
+                          "({name, path, format, compression} each)")
     ing.add_argument("--format", choices=["jsonl", "text", "parquet"], default="jsonl")
     ing.add_argument("--source", default=None, help="source label (default: input basename)")
     ing.add_argument("--table", required=True)
     ing.add_argument("--partitions", type=int, default=None)
+
+    tst = sub.add_parser(
+        "toast", help="full pipeline: ingest -> encode -> verify -> register -> editions "
+                      "(resumable; the eggo `toast DATASET` analog)"
+    )
+    tst.add_argument("--input", default=None)
+    tst.add_argument("--manifest", default=None)
+    tst.add_argument("--format", choices=["jsonl", "text", "parquet"], default="jsonl")
+    tst.add_argument("--source", default=None)
+    tst.add_argument("--table", required=True)
+    tst.add_argument("--name", default=None, help="catalog name to register (optional)")
+    tst.add_argument("--editions", default=None, help="comma-separated edition list")
+    tst.add_argument("--partitions", type=int, default=None)
 
     reg = sub.add_parser("register", help="register a table in the Spark catalog")
     reg.add_argument("--table", required=True)
@@ -127,15 +114,30 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             )
             print(json.dumps(summary))
         elif args.cmd == "ingest":
-            from eggopress import encode
-            from eggopress.pipeline import textstats
+            from eggopress import ingest
 
-            docs = _load_documents(spark, args.input, args.format, args.source)
-            corpus = textstats.tokenize(docs, make_ids=False)
-            summary = encode.encode_table(
-                spark, corpus, args.table, n_partitions=args.partitions
+            if (args.input is None) == (args.manifest is None):
+                p.error("ingest needs exactly one of --input / --manifest")
+            docs = (
+                ingest.load_manifest_documents(spark, args.manifest)
+                if args.manifest
+                else ingest.load_documents(spark, args.input, args.format, args.source)
+            )
+            summary = ingest.ingest_table(
+                spark, docs, args.table, n_partitions=args.partitions
             )
             print(json.dumps(summary))
+        elif args.cmd == "toast":
+            from eggopress import toast as toastlib
+
+            result = toastlib.toast(
+                spark, args.table,
+                input_path=args.input, fmt=args.format, source=args.source,
+                manifest=args.manifest, register_name=args.name,
+                editions=tuple(args.editions.split(",")) if args.editions else (),
+                n_partitions=args.partitions,
+            )
+            print(json.dumps(result, default=str))
         elif args.cmd == "register":
             from eggopress import catalog
 

@@ -1,101 +1,157 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 with decode / feature-extraction as Arrow-batched Pandas UDFs.
 
-The Spark-side machinery (schema, mapInPandas batch shape, partitioning)
-is real and tested; the actual media decode is STUBBED (no image/audio
-libraries in this container): ``decode_image`` raises NotImplementedError,
-and ``extract_features`` uses a deterministic fake decoder over the bytes
-(length, first byte, adler-style checksum, fake width/height derived from
-the payload) so the plumbing has an exact oracle.
+The fixture synthesizes REAL BMP files (the 'BM' magic, little-endian
+file-size, and a BITMAPINFOHEADER carrying width/height/bpp at fixed
+offsets), so feature extraction is a genuine binary media-header decode —
+np.frombuffer at header offsets over one concatenated batch buffer, zero
+per-element Python — with an exact DuckDB oracle (the header fields are
+deterministic functions of the document). Full pixel decode of compressed
+formats (PNG/JPEG/audio/video) still needs a media library the container
+doesn't ship: ``decode_image`` remains an honest NotImplementedError.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 FEATURE_SCHEMA = (
-    "doc_id bigint, byte_len int, first_byte int, checksum bigint, "
-    "fake_width int, fake_height int, mime string"
+    "doc_id bigint, byte_len int, width int, height int, bpp int, "
+    "checksum bigint, mime string"
 )
 
 ADLER_MOD = 65_521
+BMP_HEADER_LEN = 54  # 14-byte file header + 40-byte BITMAPINFOHEADER
+
+
+def _bmp_headers(byte_len: np.ndarray, width: np.ndarray,
+                 height: np.ndarray) -> np.ndarray:
+    """(n, 54) uint8 header matrix, fully vectorized."""
+    n = len(byte_len)
+    hdr = np.zeros((n, BMP_HEADER_LEN), dtype=np.uint8)
+    hdr[:, 0] = 0x42  # 'B'
+    hdr[:, 1] = 0x4D  # 'M'
+
+    def le32(col: int, vals: np.ndarray) -> None:
+        v = vals.astype(np.int64)
+        for k in range(4):
+            hdr[:, col + k] = (v >> (8 * k)) & 0xFF
+
+    le32(2, byte_len + BMP_HEADER_LEN)  # file size
+    le32(10, np.full(n, BMP_HEADER_LEN))  # pixel-data offset
+    le32(14, np.full(n, 40))  # DIB header size
+    le32(18, width)
+    le32(22, height)
+    hdr[:, 26] = 1  # planes
+    hdr[:, 28] = 24  # bits per pixel
+    return hdr
 
 
 def attach_binary(df: DataFrame) -> DataFrame:
     """documents -> (doc_id, payload:binary, meta struct) — the multimodal
-    table shape; payload is the utf-8 text standing in for media bytes."""
-    return df.select(
+    table shape. payload is a real BMP: 54-byte header (width/height
+    derived deterministically from n_chars so the oracle can check the
+    parsed values) followed by the utf-8 text standing in for pixel data.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = [t.encode("utf-8") for t in pdf["text"]]
+            blen = np.fromiter((len(t) for t in texts), dtype=np.int64,
+                               count=len(texts))
+            width = (blen % 640) + 1
+            height = ((blen * 3) % 480) + 1
+            hdrs = _bmp_headers(blen, width, height)
+            payloads = [hdrs[i].tobytes() + texts[i] for i in range(len(texts))]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": payloads,
+                "n_bytes": (blen + BMP_HEADER_LEN).astype("int64"),
+                "mime": "image/bmp",
+            })
+
+    flat = df.select("doc_id", "text").mapInPandas(
+        fn, "doc_id bigint, payload binary, n_bytes bigint, mime string"
+    )
+    return flat.select(
         "doc_id",
-        F.encode("text", "utf-8").alias("payload"),
-        F.struct(
-            F.col("n_chars").alias("n_bytes"),
-            F.lit("text/plain").alias("mime"),
-        ).alias("meta"),
+        "payload",
+        F.struct(F.col("n_bytes"), F.col("mime")).alias("meta"),
     )
 
 
 def decode_image(payload: bytes):
-    """Real media decode would go here (PIL/ffmpeg). STUB: the container
-    ships no media libraries."""
+    """Full pixel decode of compressed media would go here (PIL/ffmpeg).
+    STUB: the container ships no media libraries — header parsing (the
+    part expressible with numpy alone) lives in extract_features."""
     raise NotImplementedError(
-        "media decode stubbed: no image/audio libraries in this environment"
+        "pixel decode stubbed: no image/audio libraries in this environment"
     )
 
 
 def extract_features(assets: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads (mapInPandas).
+    """Arrow-batched BMP header decode over binary payloads (mapInPandas).
 
-    Deterministic fake 'decode': byte stats + payload-derived fake
-    dimensions — exercising the real batch plumbing end to end.
-    """
+    One concatenated buffer per batch + offset arithmetic: magic check,
+    little-endian width/height/bpp reads at fixed header offsets, and an
+    adler-style checksum over the pixel bytes — all vectorized numpy, zero
+    per-element Python in the hot path."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
             payloads = pdf["payload"]
             byte_len = payloads.str.len().to_numpy(dtype=np.int64)
-            # one concatenated buffer + offset arithmetic: the whole batch
-            # is processed by vectorized numpy ops, zero per-element Python
             buf = np.frombuffer(b"".join(payloads.tolist()), dtype=np.uint8)
             ends = np.cumsum(byte_len)
             starts = ends - byte_len
-            if len(buf) == 0:
-                first_byte = np.full(len(pdf), -1, dtype="int32")
-            else:
-                first_byte = np.where(
-                    byte_len > 0, buf[np.minimum(starts, len(buf) - 1)], -1
-                ).astype("int32")
+            if np.any(byte_len < BMP_HEADER_LEN):
+                raise ValueError("payload shorter than a BMP header")
+            magic_ok = (buf[starts] == 0x42) & (buf[starts + 1] == 0x4D)
+            if not np.all(magic_ok):
+                raise ValueError("payload without BMP magic")
+
+            def le32(off: int) -> np.ndarray:
+                v = buf[starts + off].astype(np.int64)
+                for k in range(1, 4):
+                    v |= buf[starts + off + k].astype(np.int64) << (8 * k)
+                return v
+
+            width = le32(18).astype("int32")
+            height = le32(22).astype("int32")
+            bpp = (buf[starts + 28].astype(np.int64)
+                   | (buf[starts + 29].astype(np.int64) << 8)).astype("int32")
+            # checksum over pixel data only (bytes after the header)
             cs = np.concatenate(([0], np.cumsum(buf, dtype=np.int64)))
-            checksum = ((cs[ends] - cs[starts]) % ADLER_MOD).astype("int64")
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "byte_len": byte_len.astype("int32"),
-                    "first_byte": first_byte,
-                    "checksum": checksum,
-                    "fake_width": (byte_len % 640).astype("int32"),
-                    "fake_height": ((byte_len * 3) % 480).astype("int32"),
-                    "mime": pdf["mime"],
-                }
-            )
+            checksum = ((cs[ends] - cs[starts + BMP_HEADER_LEN]) % ADLER_MOD).astype("int64")
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "byte_len": byte_len.astype("int32"),
+                "width": width,
+                "height": height,
+                "bpp": bpp,
+                "checksum": checksum,
+                "mime": pdf["mime"],
+            })
 
     flat = assets.select("doc_id", "payload", F.col("meta.mime").alias("mime"))
     return flat.mapInPandas(fn, FEATURE_SCHEMA)
 
 
-# ascii-only corpus => byte checksum == sum of character codes (probed in
-# tests); fake dims are pure arithmetic on n_chars
+# the header fields are deterministic functions of the document (and the
+# ascii-only corpus makes the pixel checksum the character-code sum), so
+# the WHOLE feature row — including the dims parsed back out of the binary
+# header — has an exact SQL oracle
 FEATURES_ORACLE = f"""
 SELECT doc_id,
-       cast(n_chars as int) AS byte_len,
-       cast(CASE WHEN n_chars > 0 THEN ascii(substr(text, 1, 1)) ELSE -1 END as int) AS first_byte,
-       cast(list_sum(list_transform(string_split_regex(text, ''), c -> ascii(c))) % {ADLER_MOD} as bigint) AS checksum,
-       cast(n_chars % 640 as int) AS fake_width,
-       cast((n_chars * 3) % 480 as int) AS fake_height,
-       'text/plain' AS mime
+       cast(n_chars + {BMP_HEADER_LEN} as int) AS byte_len,
+       cast((n_chars % 640) + 1 as int) AS width,
+       cast(((n_chars * 3) % 480) + 1 as int) AS height,
+       cast(24 as int) AS bpp,
+       cast(coalesce(list_sum(list_transform(string_split_regex(text, ''), c -> ascii(c))), 0) % {ADLER_MOD} as bigint) AS checksum,
+       'image/bmp' AS mime
 FROM documents
 """

@@ -1,0 +1,123 @@
+"""`toast` — the one-call full pipeline (reference: `eggo toast DATASET`
+"runs the full pipeline", docs/spec.md:219-224; datasets/dbsnp/toast.sh
+chains download -> convert -> flatten -> partition -> publish as five OS
+processes). Here the chain is ingest -> encode -> verify -> register ->
+editions, each stage committing a lineage row (stage='toast'), and the
+whole pipeline is RESUMABLE: a re-run skips stages whose lineage row says
+done, and the encode stage additionally resumes partition-by-partition
+through encode_table's own lineage (a kill mid-encode re-encodes only the
+missing partitions; a kill after encode re-enters at verify without
+re-encoding anything).
+"""
+
+from __future__ import annotations
+
+import json
+import tempfile
+import time
+
+from pyspark.sql import SparkSession, functions as F
+
+from eggopress import lineage as lineagelib
+from eggopress.tablefmt import Table
+
+STAGES = ("encode", "verify", "register", "editions")
+
+
+def _done_stages(spark: SparkSession, tbl: Table) -> set[str]:
+    return set(lineagelib.done_partitions(spark, tbl, stage="toast"))
+
+
+def toast(
+    spark: SparkSession,
+    table_path: str,
+    *,
+    input_path: str | None = None,
+    fmt: str = "jsonl",
+    source: str | None = None,
+    manifest: str | None = None,
+    register_name: str | None = None,
+    editions: tuple[str, ...] = (),
+    n_partitions: int | None = None,
+    fail_after: str | None = None,
+) -> dict:
+    """Run (or resume) the full pipeline. Exactly one of input_path /
+    manifest selects the corpus. fail_after injects a crash after the named
+    stage commits (resume tests)."""
+    from eggopress import catalog, decode, ingest, verify
+    from eggopress import editions as editionslib
+    from eggopress.pipeline import textstats
+
+    if (input_path is None) == (manifest is None):
+        raise ValueError("toast needs exactly one of input_path / manifest")
+
+    tbl = Table(table_path)
+    t0 = time.time()
+    done = _done_stages(spark, tbl)
+    result: dict = {"stages": {}, "table": table_path}
+
+    def docs_df():
+        if manifest:
+            return ingest.load_manifest_documents(spark, manifest)
+        return ingest.load_documents(spark, input_path, fmt, source)
+
+    def commit(stage: str, **info) -> None:
+        lineagelib.append(spark, tbl, [
+            (result.get("run_id", ""), stage, "toast", "done", 1,
+             json.dumps(info, default=str)[:2000] or None,
+             None, None, None, int((time.time() - t0) * 1000))
+        ])
+        result["stages"][stage] = {"status": "done", **info}
+        if fail_after == stage:
+            raise RuntimeError(f"toast: injected failure after stage {stage!r}")
+
+    # ---- encode (ingest + tokenize + encode; self-resuming) ----
+    if "encode" in done:
+        result["stages"]["encode"] = {"status": "skipped"}
+        snap = tbl.snapshot() or {}
+        result["run_id"] = snap.get("run_id", "")
+    else:
+        # resume partition-wise iff a previous toast attempt left lineage
+        # behind; a pristine table dir gets a fresh encode
+        resume = bool(lineagelib.done_partitions(spark, tbl))
+        summary = ingest.ingest_table(
+            spark, docs_df(), table_path,
+            n_partitions=n_partitions, resume=resume,
+        )
+        result["run_id"] = summary["run_id"]
+        commit("encode", rows=summary["rows"], partitions=summary["partitions"],
+               skipped=summary["skipped"], encoded_bytes=summary["encoded_bytes"])
+
+    # ---- verify (round trip + compression vs reference parquet) ----
+    if "verify" in done:
+        result["stages"]["verify"] = {"status": "skipped"}
+    else:
+        expected = textstats.tokenize(docs_df(), make_ids=False)
+        decoded = decode.decode_table(spark, table_path)
+        ok = verify.roundtrip_ok(expected, decoded)
+        with tempfile.TemporaryDirectory() as scratch:
+            report = verify.compression_report(spark, table_path, expected, scratch)
+        if not ok:
+            raise RuntimeError("toast: verify failed — decoded rows differ from input")
+        commit("verify", roundtrip_ok=ok,
+               ratio_vs_reference=report["ratio_vs_reference"])
+
+    # ---- register ----
+    if register_name:
+        if "register" in done:
+            result["stages"]["register"] = {"status": "skipped"}
+        else:
+            info = catalog.register(spark, table_path, register_name)
+            commit("register", surfaces=info["surfaces"])
+
+    # ---- editions ----
+    for ed in editions:
+        key = f"edition:{ed}"
+        if key in done:
+            result["stages"][key] = {"status": "skipped"}
+        else:
+            out = editionslib.materialize(spark, table_path, ed)
+            commit(key, path=out)
+
+    result["wall_s"] = round(time.time() - t0, 3)
+    return result

@@ -123,8 +123,12 @@ def test_jaccard_leaves_no_persisted_rdds(spark, docs):
     storage memory must be empty (repeated calls must not accumulate)."""
     from eggopress.pipeline import dedup
 
+    # other test modules may cache fixtures in the shared session; the
+    # contract is that THIS operator adds nothing to storage memory
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
     dedup.ngram_jaccard_pairs(docs, 0.6, "prefix").count()
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before
 
 
 def test_cosine_neardup_raises_on_dim_mismatch(spark, embs):
@@ -183,6 +187,30 @@ def test_multimodal_decode_stub_raises():
 
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG...")
+
+
+def test_multimodal_payloads_are_valid_bmp(spark, docs):
+    """Independent check of the BMP writer: unpack headers with struct
+    (not our vectorized parser), per the format spec's fixed LE offsets."""
+    import struct
+
+    from eggopress.pipeline import multimodal
+
+    rows = multimodal.attach_binary(docs.limit(20)).collect()
+    assert rows
+    for r in rows:
+        p = bytes(r["payload"])
+        assert p[:2] == b"BM"
+        file_size, = struct.unpack_from("<I", p, 2)
+        px_off, = struct.unpack_from("<I", p, 10)
+        dib, = struct.unpack_from("<I", p, 14)
+        width, height = struct.unpack_from("<ii", p, 18)
+        planes, bpp = struct.unpack_from("<HH", p, 26)
+        assert file_size == len(p)
+        assert px_off == 54 and dib == 40 and planes == 1 and bpp == 24
+        assert 1 <= width <= 640 and 1 <= height <= 480
+        assert r["meta"]["n_bytes"] == len(p)
+        assert r["meta"]["mime"] == "image/bmp"
 
 
 def test_exact_dedup_drops_known_copies(spark, docs):

@@ -1,0 +1,113 @@
+"""Manifest-driven multi-resource ingest (S1+S2 composition) + the `toast`
+full-pipeline command (ingest -> encode -> verify -> register -> editions),
+including mid-pipeline kill/resume."""
+
+import gzip
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from eggopress import cli, decode, ingest, lineage, toast as toastlib
+from eggopress.tablefmt import Table
+
+
+def _write_resources(tmp_path):
+    """Two resources: a gzip'd jsonl and a plain text file."""
+    a_rows = [json.dumps({"text": f"alpha beta gamma {i} delta " * (1 + i % 3)})
+              for i in range(80)]
+    a = tmp_path / "web.jsonl.gz"
+    with gzip.open(a, "wt") as f:
+        f.write("\n".join(a_rows))
+    b = tmp_path / "books.txt"
+    b.write_text("\n".join(f"book line {i} with several words" for i in range(40)))
+    manifest = tmp_path / "datapackage.json"
+    manifest.write_text(json.dumps({
+        "name": "fixture-corpus",
+        "resources": [
+            {"name": "web", "path": "web.jsonl.gz", "format": "jsonl",
+             "compression": "gzip"},
+            {"name": "books", "path": "books.txt", "format": "text"},
+        ],
+    }))
+    return str(manifest)
+
+
+def test_manifest_ingest_multi_resource_gzip(spark, tmp_path, capsys):
+    manifest = _write_resources(tmp_path)
+    table = str(tmp_path / "mr_tbl")
+    rc = cli.main(["ingest", "--manifest", manifest, "--table", table], spark=spark)
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["sources"] == {"web": 80, "books": 40}
+
+    decoded = decode.decode_table(spark, table)
+    got = {r["source"]: r["n"] for r in
+           decoded.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert got == {"web": 80, "books": 40}
+
+    # per-resource provenance rows
+    lin = lineage.read(spark, Table(table)).filter(F.col("stage") == "ingest")
+    rows = {r["partition_id"]: r["row_count"] for r in lin.collect()}
+    assert rows == {"resource:web": 80, "resource:books": 40}
+
+
+def test_manifest_validation_errors(tmp_path):
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"resources": [{"name": "x", "path": "p",
+                                              "format": "xml"}]}))
+    with pytest.raises(ValueError, match="unknown format"):
+        ingest.read_manifest(str(bad))
+    bad.write_text(json.dumps({"resources": []}))
+    with pytest.raises(ValueError, match="no resources"):
+        ingest.read_manifest(str(bad))
+
+
+def test_toast_end_to_end(spark, tmp_path):
+    manifest = _write_resources(tmp_path)
+    table = str(tmp_path / "toast_tbl")
+    result = toastlib.toast(
+        spark, table, manifest=manifest,
+        register_name="toasted", editions=("flat",),
+    )
+    assert result["stages"]["encode"]["status"] == "done"
+    assert result["stages"]["verify"]["roundtrip_ok"] is True
+    assert result["stages"]["register"]["status"] == "done"
+    assert result["stages"]["edition:flat"]["status"] == "done"
+    assert spark.sql("SELECT count(*) AS n FROM toasted").collect()[0]["n"] == 120
+
+    # every stage left a lineage row
+    stages = {r["partition_id"] for r in
+              lineage.read(spark, Table(table))
+              .filter(F.col("stage") == "toast").collect()}
+    assert stages == {"encode", "verify", "register", "edition:flat"}
+    spark.sql("DROP TABLE IF EXISTS toasted_chunks")
+
+
+def test_toast_resumes_after_encode_without_reencoding(spark, tmp_path):
+    """Kill after encode; the re-run must enter at verify with ZERO
+    re-encoding (encode attempt counts unchanged)."""
+    manifest = _write_resources(tmp_path)
+    table = str(tmp_path / "toast_resume")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        toastlib.toast(spark, table, manifest=manifest, fail_after="encode")
+
+    tbl = Table(table)
+    attempts_before = lineage.attempt_counts(spark, tbl)
+    assert attempts_before, "encode must have completed before the kill"
+
+    result = toastlib.toast(spark, table, manifest=manifest)
+    assert result["stages"]["encode"]["status"] == "skipped"
+    assert result["stages"]["verify"]["status"] == "done"
+    assert lineage.attempt_counts(spark, tbl) == attempts_before, \
+        "resume must not re-encode any partition"
+
+
+def test_toast_cli(spark, tmp_path, capsys):
+    manifest = _write_resources(tmp_path)
+    table = str(tmp_path / "toast_cli_tbl")
+    rc = cli.main(["toast", "--manifest", manifest, "--table", table], spark=spark)
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert result["stages"]["verify"]["roundtrip_ok"] is True
