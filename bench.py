@@ -41,15 +41,19 @@ def _session(cpus: int):
     return spark
 
 
-def _materialize_corpus(spark, n_docs: int) -> str:
+def _materialize_corpus(spark, n_docs: int, seed: int = 42) -> str:
     """Deterministic synth corpus written once to parquet (fixed layout so
-    every parallelism level reads identical input)."""
+    every parallelism level reads identical input). seed != 42 gives a
+    DISJOINT corpus (concurrency experiments need independent inputs)."""
     from eggopress import synth
 
-    path = os.path.join(SCRATCH, f"corpus_{n_docs}")
+    suffix = "" if seed == 42 else f"_s{seed}"
+    path = os.path.join(SCRATCH, f"corpus_{n_docs}{suffix}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
-        synth.corpus_df(spark, n_docs).repartition(32).write.mode("overwrite").parquet(path)
+        synth.corpus_df(spark, n_docs, seed=seed).repartition(32).write.mode(
+            "overwrite"
+        ).parquet(path)
     return path
 
 
@@ -193,9 +197,11 @@ def run_encode_only(cpus: int) -> dict:
     from eggopress.encode import plan_salts
 
     n_docs = int(os.environ.get("EGGOPRESS_SCALING_DOCS", "800000"))
+    seed = int(os.environ.get("EGGOPRESS_SCALING_SEED", "42"))
+    tag = os.environ.get("EGGOPRESS_SCALING_TAG", "")
     spark = _session(cpus)
     try:
-        corpus_path = _materialize_corpus(spark, n_docs)
+        corpus_path = _materialize_corpus(spark, n_docs, seed)
         corpus = spark.read.parquet(corpus_path)
 
         # salt plan computed outside Spark (duckdb scan) — partition count
@@ -208,11 +214,23 @@ def run_encode_only(cpus: int) -> dict:
         salts = plan_salts({k: int(v) for k, v in counts.items()}, 2 * cpus)
 
         # warm the Python workers / codegen outside the timed region
-        warm = os.path.join(SCRATCH, f"tbl_warm_{cpus}")
+        warm = os.path.join(SCRATCH, f"tbl_warm_{cpus}{tag}")
         shutil.rmtree(warm, ignore_errors=True)
         encode.encode_table(spark, corpus.limit(2000), warm, n_partitions=4)
 
-        table = os.path.join(SCRATCH, f"tbl_scale_{cpus}")
+        # concurrency experiments: all peer processes must start their
+        # TIMED encode together (JVM/warmup durations differ) — signal
+        # readiness, then spin until every peer has
+        barrier = os.environ.get("EGGOPRESS_START_BARRIER")
+        if barrier:
+            import glob
+
+            n_peers = int(os.environ.get("EGGOPRESS_BARRIER_N", "2"))
+            open(f"{barrier}.{os.getpid()}", "w").close()
+            while len(glob.glob(barrier + ".*")) < n_peers:
+                time.sleep(0.2)
+
+        table = os.path.join(SCRATCH, f"tbl_scale_{cpus}{tag}")
         shutil.rmtree(table, ignore_errors=True)
         t0 = time.time()
         summary = encode.encode_table(spark, corpus, table, salts=salts)
@@ -222,6 +240,8 @@ def run_encode_only(cpus: int) -> dict:
     return {
         "cpus": cpus,
         "wall_sec": round(wall, 3),
+        "t_start": round(t0, 3),
+        "t_end": round(t0 + wall, 3),
         "tokens": summary["values"],
         "tokens_per_sec_encode": round(summary["values"] / wall),
         "encoded_bytes": summary["encoded_bytes"],
@@ -271,15 +291,18 @@ so medians, not best-of, feed the efficiency ratios).
 Cluster-analog pair (local[1] -> local[4], below the bandwidth ceiling):
 efficiency = {report['pairs'].get('1->4')}.
 
-## Reading the pairs: the single-host bandwidth ceiling
+## Reading the pairs: the single-host ceiling, now MEASURED
 
-All local[k] workers share ONE memory bus. The full pipeline (parquet scan
--> salted range shuffle -> Arrow -> vectorized codecs -> parquet write)
-moves each token through memory several times and saturates this VM at
-roughly 25-35M tokens/sec regardless of added cores (measured curve
-above; beyond ~16 threads kernel-side contention additionally costs
-throughput). The 8->32 pair therefore measures bus saturation, not the
-engine's plan: both ends sit at the ceiling. Per-core scaling is
+All local[k] workers share ONE memory system. The full pipeline (parquet
+scan -> salted range shuffle -> Arrow -> vectorized codecs -> parquet
+write) saturates this VM at roughly 28-38M tokens/sec regardless of added
+cores past ~16. This is no longer an inference: the discriminating
+experiment in BENCH/CONCURRENCY.md ran TWO concurrent local[16] encodes
+on disjoint inputs (separate JVMs, Python worker pools, shuffle dirs) and
+their barrier-aligned aggregate was only ~1.15x one local[16] process —
+so no in-process change can make one 32-thread process do what two whole
+processes cannot. The 8->32 pair therefore measures host saturation, not
+the engine's plan: both ends sit at the ceiling. Per-core scaling is
 near-linear while BELOW the ceiling — the 1->4 pair — and that is the
 regime that models a real multi-executor cluster, where each executor
 brings its OWN memory bus, so N->4N executors multiplies bandwidth by 4,

@@ -37,6 +37,10 @@ def register(spark: SparkSession, table_path: str, name: str) -> dict:
     tbl = Table(table_path)
     if tbl.snapshot() is None:
         raise ValueError(f"no snapshot at {table_path}: encode first")
+    if "'" in tbl.data_dir:
+        # the LOCATION literal below is single-quoted; a quote in the path
+        # would break out of the DDL statement
+        raise ValueError(f"table path must not contain a quote: {tbl.data_dir!r}")
 
     spark.sql(f"DROP TABLE IF EXISTS {name}_chunks")
     # the data dir is hive-partitioned (source=/salt=), so the catalog

@@ -65,6 +65,21 @@ def test_minhash_hashes_once(spark):
     assert plan.count("md5") <= 2, "md5 array must not be inlined per permutation"
 
 
+def test_simhash_hashes_once_and_band_join_is_key_equi(spark):
+    """The 64-bit simhash must compute ONE md5 per word (staged _m array
+    feeding both hash halves), and the 16-bit band self-join must be a key
+    equi-join, never a cartesian."""
+    from eggopress.pipeline import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _formatted(dedup.simhash(docs))
+    assert plan.count("md5") <= 2, "md5 must not be inlined per bit (64x blowup)"
+
+    pplan = _formatted(dedup.simhash_pairs(docs, 3))
+    assert "CartesianProduct" not in pplan and "BroadcastNestedLoop" not in pplan
+    assert "bucket" in pplan
+
+
 def test_ngram_prefix_path_has_no_cartesian(spark):
     from eggopress.pipeline import dedup
 
