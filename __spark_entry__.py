@@ -207,6 +207,46 @@ def _q_manifest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest gate: the same parity-split resources as the
+    manifest fixture arrive as TWO micro-batches through a Structured
+    Streaming file source (maxFilesPerTrigger=1) into an append table;
+    the decoded rollup must match the batch-path oracle exactly."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from eggopress import decode, streaming
+    from eggopress.tablefmt import Table
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = os.path.join(SCRATCH, f"str_{key}")
+    table = os.path.join(root, "tbl")
+    if (Table(table).snapshot() or {}).get("stage") != "encoded":
+        landing = os.path.join(root, "landing")
+        os.makedirs(landing, exist_ok=True)
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+        ids, texts = t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        for label, parity in (("evens", 0), ("odds", 1)):
+            with open(os.path.join(landing, f"{label}.jsonl"), "w") as f:
+                f.write("\n".join(
+                    json.dumps({"doc_id": None, "text": x, "source": label,
+                                "ts": "2026-01-01T00:00:00"})
+                    for i, x in zip(ids, texts) if i % 2 == parity
+                ))
+        q = streaming.stream_ingest(
+            spark, landing, table,
+            checkpoint=os.path.join(root, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+    return decode.decode_table(spark, table).groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_tok").cast("long")).alias("n_tok_sum"),
+    )
+
+
 def _q_skew_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "documents")
@@ -292,6 +332,12 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eggopress.pipeline import simsearch
 
     return simsearch.lsh_topk(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), 10)
+
+
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eggopress.pipeline import simsearch
+
+    return simsearch.ivf_topk(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), 10)
 
 
 def _q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -383,6 +429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p2_predicate_decode": _q_predicate_decode,
         "edition_flat_rollup": _q_edition_flat_rollup,
         "s2_manifest_ingest": _q_manifest_ingest,
+        "stream_ingest_rollup": _q_stream_ingest,
         "d1_skew_source_counts": _q_skew_source_counts,
         "d3_salt_plan": _q_salt_plan,
         "p3_derived_partition_key": _q_derived_partition_key,
@@ -395,6 +442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_dedup_embedding,
         "ann_brute_topk": _q_ann_brute,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "text_token_counts": _q_text_token_counts,
         "text_lang_id": _q_text_lang_id,
         "text_quality": _q_text_quality,
@@ -410,6 +458,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from eggopress.pipeline import dedup, multimodal, simsearch, textstats
+
+    # manifest ingest and streaming ingest consume the SAME parity-split
+    # resources (content-addressed ids dedup exact copies per resource),
+    # so one DISTINCT rollup oracle covers both paths
+    parity_rollup = f"""
+        SELECT source, count(*) AS n_docs, cast(sum(n_tok) as bigint) AS n_tok_sum
+        FROM (SELECT DISTINCT
+                CASE WHEN doc_id % 2 = 0 THEN 'evens' ELSE 'odds' END AS source,
+                text, len({textstats.WORDS_DUCK}) AS n_tok
+              FROM documents)
+        GROUP BY source
+    """
 
     cos = simsearch._cos_duck("embedding::DOUBLE[]", "q")
     bucket_expr = simsearch.lsh_bucket_expr_duck(64)
@@ -439,14 +499,8 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(coalesce(list_sum({textstats.TOKENS_DUCK}), 0)) as bigint) AS token_sum
             FROM documents GROUP BY source
         """,
-        "s2_manifest_ingest": f"""
-            SELECT source, count(*) AS n_docs, cast(sum(n_tok) as bigint) AS n_tok_sum
-            FROM (SELECT DISTINCT
-                    CASE WHEN doc_id % 2 = 0 THEN 'evens' ELSE 'odds' END AS source,
-                    text, len({textstats.WORDS_DUCK}) AS n_tok
-                  FROM documents)
-            GROUP BY source
-        """,
+        "s2_manifest_ingest": parity_rollup,
+        "stream_ingest_rollup": parity_rollup,
         "d1_skew_source_counts": "SELECT source, count(*) AS n FROM documents GROUP BY source",
         "d3_salt_plan": """
             SELECT source, count(*) AS n,
@@ -475,6 +529,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE bucket = ({qbucket_expr})
             ORDER BY cos DESC, vec_id ASC LIMIT 10
         """,
+        "ann_ivf_topk": simsearch.ivf_topk_oracle(0, 10),
         "text_token_counts": textstats.TOKEN_COUNTS_ORACLE,
         "text_lang_id": textstats.LANG_ID_ORACLE,
         "text_quality": textstats.QUALITY_ORACLE,

@@ -325,3 +325,112 @@ def encode_table(
         "encoded_bytes": int(total_enc),
         "wall_s": time.time() - t0,
     }
+
+
+def encode_append(spark: SparkSession, df: DataFrame, table_path: str, *,
+                  run_id: str, n_partitions: int | None = None) -> dict:
+    """Append-encode one micro-batch into an existing (or new) table —
+    the streaming-ingest sink (SURVEY.md-plus: continuous corpus
+    ingestion). Unlike encode_table this neither retires previous state
+    nor resumes: each batch stages its chunks and MERGE-promotes the
+    files into the shared source=/salt= dirs, appends manifest rows, and
+    records one lineage wave under the batch's run_id. Snapshot totals
+    accumulate across batches, so snapshot-gated readers always see a
+    consistent 'encoded' stage.
+
+    Idempotence across Structured Streaming retries comes from the
+    checkpointed batch id: the caller derives run_id from batch_id, and a
+    batch whose lineage wave is already recorded is skipped wholesale.
+    """
+    tbl = Table(table_path)
+    t0 = time.time()
+    if any(r == run_id for r in _lineage_run_ids(spark, tbl)):
+        return {"run_id": run_id, "partitions": 0, "skipped": 1, "rows": 0,
+                "values": 0, "encoded_bytes": 0, "raw_bytes": 0, "chunks": 0,
+                "wall_s": 0.0, "replayed": True}
+
+    counts = {r["source"]: r["cnt"] for r in
+              df.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    if not counts:
+        return {"run_id": run_id, "partitions": 0, "skipped": 0, "rows": 0,
+                "values": 0, "encoded_bytes": 0, "raw_bytes": 0, "chunks": 0,
+                "wall_s": 0.0}
+    total_rows_in = sum(counts.values())
+    if n_partitions is None:
+        n_partitions = min(
+            conf.encode_partitions(conf.local_cores()),
+            max(1, total_rows_in // conf.chunk_rows_default() + 1),
+        )
+    salts = plan_salts(counts, n_partitions)
+
+    salted = df.withColumn("salt", _salt_expr(salts))
+    arranged = salted.repartitionByRange(
+        max(len(partition_ids(salts)), 1), "source", "salt"
+    ).sortWithinPartitions("source", "salt", "doc_id")
+    staging = tbl.staging_dir(run_id)
+    (
+        arranged.mapInArrow(_encode_fn(frozenset()), CHUNK_SCHEMA)
+        .write.partitionBy("source", "salt")
+        .option("compression", "uncompressed")
+        .mode("overwrite")
+        .parquet(staging)
+    )
+    staged = spark.read.parquet(staging)
+    stats = (
+        staged.groupBy("partition_id")
+        .agg(F.count("*").alias("chunks"), F.sum("n_rows").alias("rows"),
+             F.sum("n_values").alias("values"), F.sum("raw_bytes").alias("raw"),
+             F.sum("encoded_bytes").alias("enc"),
+             F.concat_ws(",", F.array_distinct(F.collect_list("tokens_codec"))).alias("codecs"))
+        .collect()
+    )
+    manifest = staged.selectExpr(
+        "partition_id", "chunk_id",
+        "stack(4, 'doc_id', doc_id_codec, doc_id_bytes, "
+        "'source', source_codec, source_bytes, "
+        "'n_tok', n_tok_codec, n_tok_bytes, "
+        "'tokens', tokens_codec, tokens_bytes) as (column, codec, encoded_bytes)",
+        "n_rows", "n_values", "raw_bytes",
+        "n_tok_min", "n_tok_max", "tok_min", "tok_max",
+    )
+    manifest.write.mode("append").parquet(tbl.manifest_dir)
+    tbl.promote_partitions(run_id, merge=True)
+
+    now_ms = int((time.time() - t0) * 1000)
+    lineagelib.append(spark, tbl, [
+        (run_id, r["partition_id"], "encode", "done", 1, r["codecs"],
+         int(r["raw"]), int(r["enc"]), int(r["rows"]), now_ms)
+        for r in stats
+    ])
+    batch = {
+        "chunks": sum(int(r["chunks"]) for r in stats),
+        "rows": sum(int(r["rows"]) for r in stats),
+        "values": sum(int(r["values"]) for r in stats),
+        "raw_bytes": sum(int(r["raw"]) for r in stats),
+        "encoded_bytes": sum(int(r["enc"]) for r in stats),
+    }
+    prev = ((tbl.snapshot() or {}).get("totals")
+            or {"chunks": 0, "rows": 0, "values": 0, "raw_bytes": 0,
+                "encoded_bytes": 0})
+    tbl.commit_snapshot({
+        "stage": "encoded",
+        "mode": "append",
+        "run_id": run_id,
+        "schema": "corpus_v1",
+        "partitions": tbl.partition_dirs(),
+        "totals": {k: int(prev.get(k, 0)) + batch[k] for k in batch},
+    })
+    return {"run_id": run_id, "partitions": len(stats), "skipped": 0,
+            "wall_s": time.time() - t0, **batch}
+
+
+def _lineage_run_ids(spark: SparkSession, tbl: Table) -> list[str]:
+    import os as _os
+
+    if not (_os.path.isdir(tbl.lineage_dir)
+            and any(f.endswith(".parquet") for f in _os.listdir(tbl.lineage_dir))):
+        return []
+    return [r["run_id"] for r in
+            lineagelib.read(spark, tbl).select("run_id").distinct().collect()]
+
+

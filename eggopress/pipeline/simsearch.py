@@ -6,6 +6,9 @@
                    of projections onto fixed seeded hyperplanes; search
                    only the query's bucket (scale path: the bucket join
                    shuffles a tiny fraction of the table).
+  ivf_topk       — IVF-flat: deterministic coarse centroids partition the
+                   table into cells; a query probes its nprobe nearest
+                   cells (the cell key is the partition key at scale).
   cosine_neardup — embedding near-duplicate pairs above a cosine
                    threshold, inverted on LSH buckets at scale.
 
@@ -140,6 +143,88 @@ def lsh_topk_oracle(query_vec, k: int = 10, dim: int | None = None) -> str:
 SELECT vec_id, {_cos_duck(EMB_D_DUCK, q)} AS cos
 FROM (SELECT vec_id, embedding, {lsh_bucket_expr_duck(dim)} AS bucket FROM embeddings)
 WHERE bucket = ({qbucket})
+ORDER BY cos DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+# ------------------------------------------------------------- IVF ANN
+
+IVF_CELLS = 16
+IVF_NPROBE = 4
+
+
+def ivf_topk(df: DataFrame, query_vec, k: int = 10, *,
+             n_cells: int = IVF_CELLS, nprobe: int = IVF_NPROBE) -> DataFrame:
+    """IVF-flat ANN: a coarse quantizer partitions vectors into cells;
+    a query searches only its nprobe nearest cells.
+
+    The coarse centroids are the embeddings of the n_cells smallest
+    vec_ids — a deterministic sample instead of Lloyd iterations, which
+    keeps the whole operator (assignment included) SQL-expressible for the
+    DuckDB oracle while exercising the real IVF plan shape: broadcast the
+    tiny centroid table, one shuffle to group by cell, probe-time
+    partition pruning on the cell key. At 100 TB the cell column is a
+    partition/bucket key: a query touches nprobe cells' files, not the
+    table; n_cells scales as ~sqrt(n) (classic IVF sizing) and the
+    centroid table stays broadcast-size (n_cells * dim floats).
+
+    Assignment ties break on the smaller cell id (row_number ordering), so
+    results are deterministic in both dialects.
+    """
+    cent = df.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    cos_vc = _cos_spark(EMB_D_SPARK, "cast(cemb as array<double>)")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_ccos"), F.asc("cid"))
+    assigned = (
+        df.join(F.broadcast(cent))
+        .withColumn("_ccos", F.expr(cos_vc))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    q = _vec_lit_spark(query_vec)
+    qcos = _cos_spark("cast(cemb as array<double>)", q)
+    probe = [
+        r["cid"]
+        for r in cent.select("cid", F.expr(qcos).alias("qc"))
+        .orderBy(F.desc("qc"), F.asc("cid")).limit(nprobe).collect()
+    ]
+    return (
+        assigned.filter(F.col("cid").isin(probe))
+        .select("vec_id", F.expr(_cos_spark(EMB_D_SPARK, q)).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ivf_topk_oracle(query_vec_id: int = 0, k: int = 10, *,
+                    n_cells: int = IVF_CELLS, nprobe: int = IVF_NPROBE) -> str:
+    """Oracle over the same table, query = embedding of query_vec_id. The
+    query vector is cross-joined in as a column (DuckDB lambdas cannot
+    contain subqueries) — same float fold order as the Spark side."""
+    cos_vc = _cos_duck("e.embedding::DOUBLE[]", "c.cemb::DOUBLE[]")
+    qcos = _cos_duck("cemb::DOUBLE[]", "q")
+    cos_q = _cos_duck(EMB_D_DUCK, "q")
+    return f"""
+WITH qv AS (
+  SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = {query_vec_id}
+), cent AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < {n_cells}
+), assigned AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {cos_vc} DESC, c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN cent c
+), probe AS (
+  SELECT cid FROM cent CROSS JOIN qv ORDER BY {qcos} DESC, cid ASC LIMIT {nprobe}
+)
+SELECT vec_id, {cos_q} AS cos
+FROM assigned CROSS JOIN qv
+WHERE rn = 1 AND cid IN (SELECT cid FROM probe)
 ORDER BY cos DESC, vec_id ASC
 LIMIT {k}
 """

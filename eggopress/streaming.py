@@ -1,0 +1,91 @@
+"""Structured Streaming ingest: a continuously-arriving corpus becomes a
+continuously-growing encoded table.
+
+The reference's pipeline is batch-only (eggo toast runs once per dataset,
+docs/spec.md:219-224), but a training-data pipeline at 100 TB ingests
+crawl output as it lands. Spark-first translation:
+
+  readStream (file source over a landing dir)
+    -> the same normalize/tokenize plan the batch path uses
+    -> foreachBatch: encode_append (one lineage-tracked, snapshot-
+       committed wave per micro-batch, MERGE-promoted into the shared
+       source=/salt= layout)
+
+plus a watermarked windowed arrival rollup (stream_stats) for late-data-
+tolerant monitoring. Exactly-once across restarts comes from the
+Structured Streaming checkpoint: a replayed batch id maps to a run_id
+whose lineage wave already exists, and encode_append skips it wholesale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+DOCS_STREAM_SCHEMA = "doc_id string, text string, source string, ts timestamp"
+
+
+def _normalize(docs: DataFrame, default_source: str | None) -> DataFrame:
+    """Same normalization contract as batch ingest: fill missing sources,
+    content-address missing doc_ids, dedup exact copies within the batch."""
+    out = docs
+    if default_source is not None:
+        out = out.withColumn("source", F.coalesce("source", F.lit(default_source)))
+    out = out.withColumn(
+        "doc_id",
+        F.coalesce("doc_id", F.md5(F.concat_ws("\x1f", "source", "text"))),
+    )
+    return out.select("doc_id", "text", "source").dropDuplicates(["doc_id"])
+
+
+def stream_ingest(spark: SparkSession, input_dir: str, table_path: str, *,
+                  checkpoint: str, default_source: str | None = "stream",
+                  max_files_per_trigger: int | None = None,
+                  available_now: bool = True):
+    """Start the streaming ingest query. available_now=True drains the
+    landing dir and stops (the testable trigger); False runs continuously.
+    Returns the StreamingQuery — callers awaitTermination() as needed.
+    """
+    from eggopress import encode
+    from eggopress.pipeline import textstats
+
+    reader = spark.readStream.schema(DOCS_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    docs = _normalize(reader.json(input_dir), default_source)
+    corpus = textstats.tokenize(docs, make_ids=False)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        encode.encode_append(
+            batch_df.sparkSession, batch_df, table_path,
+            run_id=f"stream-{batch_id:08d}",
+        )
+
+    writer = (
+        corpus.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+    )
+    writer = writer.trigger(availableNow=True) if available_now \
+        else writer.trigger(processingTime="10 seconds")
+    return writer.start()
+
+
+def stream_stats(spark: SparkSession, input_dir: str, *,
+                 window: str = "1 minute",
+                 watermark: str = "2 minutes") -> DataFrame:
+    """Watermarked windowed per-source arrival rollup (docs + chars per
+    event-time window). Late rows inside the watermark still land in
+    their window; older ones are dropped instead of growing state forever
+    — the standard bounded-state posture for a perpetual ingest monitor."""
+    raw = spark.readStream.schema(DOCS_STREAM_SCHEMA).json(input_dir)
+    return (
+        raw.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("n_chars"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "source", "n_docs", "n_chars",
+        )
+    )

@@ -119,8 +119,14 @@ class Table:
     def staging_dir(self, run_id: str) -> str:
         return os.path.join(self.path, f"_staging_{run_id}")
 
-    def promote_partitions(self, run_id: str) -> list[str]:
+    def promote_partitions(self, run_id: str, merge: bool = False) -> list[str]:
         """Move staged source=/salt= dirs into data/ (idempotent per dir).
+
+        merge=False (batch encode): overwrite-partition semantics — an
+        existing destination dir is replaced wholesale.
+        merge=True (streaming append): staged chunk FILES move into an
+        existing destination dir alongside previous batches' files (part
+        filenames embed the Spark job's UUID, so they never collide).
 
         Returns the promoted partition_ids ("source=<s>/salt=<k>").
         """
@@ -137,9 +143,15 @@ class Table:
                 src = os.path.join(staged, src_ent, salt_ent)
                 dst = os.path.join(self.data_dir, src_ent, salt_ent)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
-                if os.path.exists(dst):
-                    shutil.rmtree(dst)  # overwrite-partition semantics
-                os.replace(src, dst)
+                if os.path.exists(dst) and merge:
+                    for f in os.listdir(src):
+                        if f.endswith(".parquet"):
+                            os.replace(os.path.join(src, f), os.path.join(dst, f))
+                    shutil.rmtree(src, ignore_errors=True)
+                else:
+                    if os.path.exists(dst):
+                        shutil.rmtree(dst)  # overwrite-partition semantics
+                    os.replace(src, dst)
                 promoted.append(f"{src_ent}/{salt_ent}")
         shutil.rmtree(staged, ignore_errors=True)
         return promoted

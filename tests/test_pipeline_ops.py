@@ -182,6 +182,23 @@ def test_lsh_topk_subset_of_brute(spark, embs):
         assert abs(brute[r.vec_id] - r.cos) < 1e-9
 
 
+def test_ivf_topk_subset_of_brute(spark, embs):
+    """IVF results must come from the true ranking with identical scores,
+    and probing ALL cells must reproduce exact brute-force top-k."""
+    from eggopress.pipeline import simsearch
+
+    q = list(embs.filter(F.col("vec_id") == 0).first()["embedding"])
+    brute = {r.vec_id: r.cos for r in simsearch.brute_topk(embs, q, 500).collect()}
+    approx = simsearch.ivf_topk(embs, q, 10).collect()
+    assert 1 <= len(approx) <= 10
+    for r in approx:
+        assert r.vec_id in brute and abs(brute[r.vec_id] - r.cos) < 1e-9
+
+    full = simsearch.ivf_topk(embs, q, 10, n_cells=16, nprobe=16).collect()
+    exact = simsearch.brute_topk(embs, q, 10).collect()
+    assert [(r.vec_id, r.cos) for r in full] == [(r.vec_id, r.cos) for r in exact]
+
+
 def test_multimodal_decode_stub_raises():
     from eggopress.pipeline import multimodal
 

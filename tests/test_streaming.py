@@ -1,0 +1,105 @@
+"""Structured Streaming ingest: multi-batch append-encode with per-batch
+lineage, exactly-once replay skip, and watermarked windowed stats."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from eggopress import decode, encode, lineage, streaming, verify
+from eggopress.pipeline import textstats
+from eggopress.tablefmt import Table
+
+
+def _landing(tmp_path, n_files=3, rows_per_file=40):
+    d = tmp_path / "landing"
+    d.mkdir()
+    for f in range(n_files):
+        rows = [
+            json.dumps({
+                "doc_id": None,
+                "text": f"file {f} doc {i} words words {i % 7}",
+                "source": f"src{f % 2}",
+                "ts": f"2026-01-01T00:{f:02d}:{i % 60:02d}",
+            })
+            for i in range(rows_per_file)
+        ]
+        (d / f"batch{f}.jsonl").write_text("\n".join(rows))
+    return str(d)
+
+
+def test_stream_ingest_multi_batch_roundtrip(spark, tmp_path):
+    landing = _landing(tmp_path)
+    table = str(tmp_path / "stream_tbl")
+    q = streaming.stream_ingest(
+        spark, landing, table,
+        checkpoint=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,  # force one micro-batch per file
+    )
+    q.awaitTermination()
+
+    decoded = decode.decode_table(spark, table)
+    assert decoded.count() == 120
+    # streamed result must equal the batch path over the same files
+    batch_docs = streaming._normalize(
+        spark.read.schema(streaming.DOCS_STREAM_SCHEMA).json(landing), "stream"
+    )
+    expected = textstats.tokenize(batch_docs, make_ids=False)
+    assert verify.roundtrip_ok(expected, decoded)
+
+    # one lineage wave per micro-batch
+    runs = {r["run_id"] for r in
+            lineage.read(spark, Table(table)).select("run_id").collect()}
+    assert len([r for r in runs if r.startswith("stream-")]) == 3
+    snap = Table(table).snapshot()
+    assert snap["stage"] == "encoded" and snap["mode"] == "append"
+    assert snap["totals"]["rows"] == 120
+
+
+def test_stream_restart_processes_only_new_files(spark, tmp_path):
+    landing = _landing(tmp_path, n_files=2)
+    table = str(tmp_path / "stream_tbl2")
+    ckpt = str(tmp_path / "ckpt2")
+    streaming.stream_ingest(spark, landing, table, checkpoint=ckpt).awaitTermination()
+    assert decode.decode_table(spark, table).count() == 80
+
+    # new file lands; a restarted query must ingest ONLY it
+    import os
+
+    with open(os.path.join(landing, "late.jsonl"), "w") as f:
+        f.write("\n".join(json.dumps({
+            "doc_id": None, "text": f"late doc {i}", "source": "late",
+            "ts": "2026-01-01T01:00:00",
+        }) for i in range(10)))
+    streaming.stream_ingest(spark, landing, table, checkpoint=ckpt).awaitTermination()
+    decoded = decode.decode_table(spark, table)
+    assert decoded.count() == 90
+    assert decoded.filter(F.col("source") == "late").count() == 10
+
+
+def test_encode_append_replayed_batch_is_skipped(spark, tmp_path):
+    """Exactly-once: re-delivering a batch with an already-recorded run_id
+    must not duplicate rows."""
+    from eggopress import synth
+
+    table = str(tmp_path / "replay_tbl")
+    corpus = synth.corpus_df(spark, 300)
+    s1 = encode.encode_append(spark, corpus, table, run_id="stream-00000001")
+    assert s1["rows"] == 300
+    s2 = encode.encode_append(spark, corpus, table, run_id="stream-00000001")
+    assert s2.get("replayed") is True and s2["rows"] == 0
+    assert decode.decode_table(spark, table).count() == 300
+
+
+def test_stream_stats_windowed_watermark(spark, tmp_path):
+    landing = _landing(tmp_path, n_files=3)
+    out = streaming.stream_stats(spark, landing, window="1 minute")
+    q = (
+        out.writeStream.format("memory").queryName("agg_stream")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM agg_stream").collect()
+    # 3 files at minutes 0,1,2 x one source each (src0/src1 alternating)
+    got = {(r["window_start"].minute, r["source"]): r["n_docs"] for r in rows}
+    assert got == {(0, "src0"): 40, (1, "src1"): 40, (2, "src0"): 40}
