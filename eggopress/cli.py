@@ -74,6 +74,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     edi.add_argument("--edition", required=True)
     edi.add_argument("--output", default=None)
 
+    cpt = sub.add_parser("compact", help="rewrite small chunk files (streaming "
+                                         "appends) into one file per partition")
+    cpt.add_argument("--table", required=True)
+    cpt.add_argument("--min-files", type=int, default=2)
+
     dec = sub.add_parser("decode", help="decode a table back to corpus parquet")
     dec.add_argument("--table", required=True)
     dec.add_argument("--output", required=True)
@@ -151,6 +156,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
             out = editions.materialize(spark, args.table, args.edition, args.output)
             print(json.dumps({"edition": args.edition, "path": out}))
+        elif args.cmd == "compact":
+            from eggopress import maintenance
+
+            print(json.dumps(maintenance.compact_table(
+                spark, args.table, min_files=args.min_files)))
         elif args.cmd == "decode":
             from eggopress import decode
 

@@ -91,6 +91,45 @@ def test_encode_append_replayed_batch_is_skipped(spark, tmp_path):
     assert decode.decode_table(spark, table).count() == 300
 
 
+def test_compaction_after_streaming(spark, tmp_path, capsys):
+    """Streaming appends leave one file set per batch; compaction must
+    collapse each partition to one file with chunk rows and decoded data
+    byte-identical."""
+    from eggopress import cli, maintenance
+
+    landing = _landing(tmp_path, n_files=3)
+    table = str(tmp_path / "compact_tbl")
+    streaming.stream_ingest(
+        spark, landing, table,
+        checkpoint=str(tmp_path / "ckpt3"), max_files_per_trigger=1,
+    ).awaitTermination()
+
+    tbl = Table(table)
+    before_files = maintenance.partition_file_counts(tbl)
+    assert max(before_files.values()) >= 2, "appends should leave multiple files"
+    before_chunks = spark.read.parquet(tbl.data_dir)
+    cols = before_chunks.columns
+    before_rows = before_chunks.select(cols).collect()
+
+    rc = cli.main(["compact", "--table", table], spark=spark)
+    assert rc == 0
+    import json as _json
+
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["files_after"] < summary["files_before"]
+
+    after_files = maintenance.partition_file_counts(tbl)
+    assert all(n == 1 for n in after_files.values())
+    after_chunks = spark.read.parquet(tbl.data_dir).select(cols)
+    assert after_chunks.exceptAll(spark.createDataFrame(before_rows, after_chunks.schema)).count() == 0
+    assert spark.createDataFrame(before_rows, after_chunks.schema).exceptAll(after_chunks).count() == 0
+    assert decode.decode_table(spark, table).count() == 120
+    # compaction recorded in lineage + snapshot
+    comp = lineage.read(spark, tbl).filter(F.col("stage") == "compact")
+    assert comp.count() == len([p for p, n in before_files.items() if n >= 2])
+    assert "last_compaction" in (tbl.snapshot() or {})
+
+
 def test_stream_stats_windowed_watermark(spark, tmp_path):
     landing = _landing(tmp_path, n_files=3)
     out = streaming.stream_stats(spark, landing, window="1 minute")
