@@ -99,6 +99,19 @@ def test_neardup_banded_join_is_key_equi(spark):
     assert "bucket" in plan
 
 
+def test_ivf_quantizer_join_is_broadcast(spark):
+    """The IVF coarse-assignment scores every vector against all n_cells
+    centroids — the right plan is a BROADCAST of the tiny centroid table
+    (no shuffle of the big side for the quantizer)."""
+    from eggopress.pipeline import simsearch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [0.1] * 64
+    plan = _formatted(simsearch.ivf_topk(emb, q, 5))
+    assert "Broadcast" in plan, "centroid table must broadcast"
+    assert "SortMergeJoin" not in plan, "quantizer must not shuffle the big side"
+
+
 def test_predicate_decode_pushes_stats_filter(spark, table):
     from eggopress import decode
 
