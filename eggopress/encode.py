@@ -384,16 +384,26 @@ def encode_append(spark: SparkSession, df: DataFrame, table_path: str, *,
              F.concat_ws(",", F.array_distinct(F.collect_list("tokens_codec"))).alias("codecs"))
         .collect()
     )
-    manifest = staged.selectExpr(
-        "partition_id", "chunk_id",
-        "stack(4, 'doc_id', doc_id_codec, doc_id_bytes, "
-        "'source', source_codec, source_bytes, "
-        "'n_tok', n_tok_codec, n_tok_bytes, "
-        "'tokens', tokens_codec, tokens_bytes) as (column, codec, encoded_bytes)",
-        "n_rows", "n_values", "raw_bytes",
-        "n_tok_min", "n_tok_max", "tok_min", "tok_max",
+    # idempotent manifest: one deterministic file per batch
+    # (manifest/append-<run_id>.parquet, atomic os.replace), written
+    # driver-side — an at-least-once redelivery overwrites instead of
+    # appending a second copy of the stats. O(chunks x 4) rows per
+    # micro-batch, bounded by the batch size.
+    man_rows = sorted(
+        staged.selectExpr(
+            "partition_id", "chunk_id",
+            "stack(4, 'doc_id', doc_id_codec, doc_id_bytes, "
+            "'source', source_codec, source_bytes, "
+            "'n_tok', n_tok_codec, n_tok_bytes, "
+            "'tokens', tokens_codec, tokens_bytes) as (column, codec, encoded_bytes)",
+            "n_rows", "n_values", "raw_bytes",
+            "n_tok_min", "n_tok_max", "tok_min", "tok_max",
+        ).collect(),
+        key=lambda r: (r["partition_id"], r["chunk_id"], r["column"]),
     )
-    manifest.write.mode("append").parquet(tbl.manifest_dir)
+    _write_manifest_file(tbl, f"append-{run_id}", man_rows)
+    # deterministic <run_id>-<i>.parquet names make the merge-promote
+    # itself replay-safe (identical re-encode overwrites, never duplicates)
     tbl.promote_partitions(run_id, merge=True)
 
     now_ms = int((time.time() - t0) * 1000)
@@ -409,19 +419,56 @@ def encode_append(spark: SparkSession, df: DataFrame, table_path: str, *,
         "raw_bytes": sum(int(r["raw"]) for r in stats),
         "encoded_bytes": sum(int(r["enc"]) for r in stats),
     }
-    prev = ((tbl.snapshot() or {}).get("totals")
-            or {"chunks": 0, "rows": 0, "values": 0, "raw_bytes": 0,
-                "encoded_bytes": 0})
+    # snapshot totals recomputed from the duplicate-free manifest instead
+    # of accumulated from the previous snapshot — correct under ANY retry
+    # interleaving (a replayed batch can never double-count)
+    man = spark.read.parquet(tbl.manifest_dir)
+    tot = (
+        man.filter(F.col("column") == "tokens")
+        .agg(F.count("*").alias("chunks"), F.sum("n_rows").alias("rows"),
+             F.sum("n_values").alias("values"), F.sum("raw_bytes").alias("raw"))
+        .first()
+    )
+    enc_total = man.agg(F.sum("encoded_bytes")).first()[0]
     tbl.commit_snapshot({
         "stage": "encoded",
         "mode": "append",
         "run_id": run_id,
         "schema": "corpus_v1",
         "partitions": tbl.partition_dirs(),
-        "totals": {k: int(prev.get(k, 0)) + batch[k] for k in batch},
+        "totals": {
+            "chunks": int(tot["chunks"]), "rows": int(tot["rows"]),
+            "values": int(tot["values"]), "raw_bytes": int(tot["raw"]),
+            "encoded_bytes": int(enc_total),
+        },
     })
     return {"run_id": run_id, "partitions": len(stats), "skipped": 0,
             "wall_s": time.time() - t0, **batch}
+
+
+def _write_manifest_file(tbl: Table, name: str, rows: list) -> None:
+    """One manifest parquet file with a caller-chosen (deterministic) name,
+    written driver-side and swapped in atomically."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from eggopress.schema import MANIFEST_SCHEMA
+
+    types = [pa.string(), pa.int64(), pa.string(), pa.string(), pa.int32(),
+             pa.int64(), pa.int64(), pa.int64(), pa.int32(), pa.int32(),
+             pa.int32(), pa.int32()]
+    names = [f.name for f in MANIFEST_SCHEMA.fields]
+    # collected Rows carry stack() column order; re-map by field name
+    cols = {n: [r[n] for r in rows] for n in names}
+    table = pa.table({n: pa.array(cols[n], type=t) for n, t in zip(names, types)})
+    _os.makedirs(tbl.manifest_dir, exist_ok=True)
+    final = _os.path.join(tbl.manifest_dir, f"{name}.parquet")
+    # tmp lives OUTSIDE the manifest dir: a crash must never leave a
+    # half-written file where spark.read.parquet(manifest_dir) would trip
+    tmp = _os.path.join(tbl.path, f"_manifest_tmp_{name}.parquet")
+    pq.write_table(table, tmp)
+    _os.replace(tmp, final)
 
 
 def _lineage_run_ids(spark: SparkSession, tbl: Table) -> list[str]:

@@ -124,9 +124,14 @@ class Table:
 
         merge=False (batch encode): overwrite-partition semantics — an
         existing destination dir is replaced wholesale.
-        merge=True (streaming append): staged chunk FILES move into an
-        existing destination dir alongside previous batches' files (part
-        filenames embed the Spark job's UUID, so they never collide).
+        merge=True (streaming append): staged chunk FILES move into the
+        destination dir alongside previous batches' files, renamed to the
+        DETERMINISTIC pattern <run_id>-<i>.parquet (i = staged sort
+        order). Determinism is what makes an at-least-once retry safe: if
+        a previous attempt crashed mid-promote, the re-encoded batch
+        (identical content — codec choice and chunking are pure functions
+        of the data) overwrites the same file names instead of merging a
+        second copy of the rows.
 
         Returns the promoted partition_ids ("source=<s>/salt=<k>").
         """
@@ -143,10 +148,12 @@ class Table:
                 src = os.path.join(staged, src_ent, salt_ent)
                 dst = os.path.join(self.data_dir, src_ent, salt_ent)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
-                if os.path.exists(dst) and merge:
-                    for f in os.listdir(src):
-                        if f.endswith(".parquet"):
-                            os.replace(os.path.join(src, f), os.path.join(dst, f))
+                if merge:
+                    os.makedirs(dst, exist_ok=True)
+                    files = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+                    for i, f in enumerate(files):
+                        os.replace(os.path.join(src, f),
+                                   os.path.join(dst, f"{run_id}-{i:04d}.parquet"))
                     shutil.rmtree(src, ignore_errors=True)
                 else:
                     if os.path.exists(dst):

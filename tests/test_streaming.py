@@ -130,6 +130,40 @@ def test_compaction_after_streaming(spark, tmp_path, capsys):
     assert "last_compaction" in (tbl.snapshot() or {})
 
 
+def test_append_retry_after_crash_before_lineage_is_idempotent(spark, tmp_path):
+    """The at-least-once window: a batch that crashed AFTER merge-promote
+    but BEFORE its lineage row landed gets redelivered whole. Deterministic
+    re-encode + deterministic <run_id>-<i>.parquet names + single
+    manifest file per batch mean the retry overwrites instead of
+    duplicating — rows, snapshot totals, and manifest all stay exact."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from eggopress import synth
+
+    table = str(tmp_path / "crashwin_tbl")
+    corpus = synth.corpus_df(spark, 300)
+    encode.encode_append(spark, corpus, table, run_id="stream-00000001")
+    tbl = Table(table)
+
+    # simulate the crash: erase the batch's lineage rows (promote +
+    # manifest already happened), so the replay-skip cannot trigger
+    for f in list(os.listdir(tbl.lineage_dir)):
+        p = os.path.join(tbl.lineage_dir, f)
+        if "stream-00000001" in set(pq.read_table(p, columns=["run_id"])
+                                    .column("run_id").to_pylist()):
+            os.remove(p)
+
+    s2 = encode.encode_append(spark, corpus, table, run_id="stream-00000001")
+    assert s2.get("replayed") is None and s2["rows"] == 300
+    assert decode.decode_table(spark, table).count() == 300
+    snap = tbl.snapshot()
+    assert snap["totals"]["rows"] == 300, "totals must not double-count"
+    man = spark.read.parquet(tbl.manifest_dir)
+    assert man.count() == man.dropDuplicates(["partition_id", "chunk_id", "column"]).count()
+
+
 def test_stream_stats_windowed_watermark(spark, tmp_path):
     landing = _landing(tmp_path, n_files=3)
     out = streaming.stream_stats(spark, landing, window="1 minute")
