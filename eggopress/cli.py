@@ -79,6 +79,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     cpt.add_argument("--table", required=True)
     cpt.add_argument("--min-files", type=int, default=2)
 
+    dsc = sub.add_parser("describe", help="table summary + integrity checks "
+                                          "(manifest vs data, snapshot totals)")
+    dsc.add_argument("--table", required=True)
+
     dec = sub.add_parser("decode", help="decode a table back to corpus parquet")
     dec.add_argument("--table", required=True)
     dec.add_argument("--output", required=True)
@@ -161,6 +165,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
             print(json.dumps(maintenance.compact_table(
                 spark, args.table, min_files=args.min_files)))
+        elif args.cmd == "describe":
+            from eggopress import maintenance
+
+            report = maintenance.table_report(spark, args.table)
+            print(json.dumps(report))
+            return 0 if report["healthy"] else 1
         elif args.cmd == "decode":
             from eggopress import decode
 

@@ -65,12 +65,17 @@ def _salt_expr(salts: dict[str, int]):
 
 def _encode_fn(fail_partitions: frozenset[str],
                fail_until_attempt: dict[str, int] | None = None,
-               attempts: dict[str, int] | None = None):
+               attempts: dict[str, int] | None = None,
+               chunk_base: int = 0):
     """mapInArrow worker: split each sorted batch at (source,salt) group
     boundaries, encode each slice as one chunk.
 
     fail_partitions always fail (resume tests); fail_until_attempt[pid]=k
     fails while the current attempt number is <= k (auto-retry tests).
+    chunk_base namespaces chunk ids per append batch (bits 48-62 from a
+    run_id hash) so ids from different streaming batches landing in the
+    same partition never collide; batch encodes keep base 0 (their chunk
+    set is replaced wholesale, so (task_id << 32) | seq is already unique).
     """
     fail_until_attempt = fail_until_attempt or {}
     attempts = attempts or {}
@@ -111,7 +116,7 @@ def _encode_fn(fail_partitions: frozenset[str],
                         pid,
                         source,
                         k,
-                        (task_id << 32) | seq,
+                        chunk_base | (task_id << 32) | seq,
                     )
                 )
                 seq += 1
@@ -368,8 +373,13 @@ def encode_append(spark: SparkSession, df: DataFrame, table_path: str, *,
         max(len(partition_ids(salts)), 1), "source", "salt"
     ).sortWithinPartitions("source", "salt", "doc_id")
     staging = tbl.staging_dir(run_id)
+    # 15-bit run-id hash namespaces this batch's chunk ids (deterministic,
+    # so a redelivered batch reproduces the same ids)
+    import hashlib as _hashlib
+
+    chunk_base = (int(_hashlib.md5(run_id.encode()).hexdigest()[:4], 16) & 0x7FFF) << 48
     (
-        arranged.mapInArrow(_encode_fn(frozenset()), CHUNK_SCHEMA)
+        arranged.mapInArrow(_encode_fn(frozenset(), chunk_base=chunk_base), CHUNK_SCHEMA)
         .write.partitionBy("source", "salt")
         .option("compression", "uncompressed")
         .mode("overwrite")

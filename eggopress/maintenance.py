@@ -35,6 +35,70 @@ def partition_file_counts(tbl: Table) -> dict[str, int]:
     return out
 
 
+def table_report(spark: SparkSession, table_path: str) -> dict:
+    """Table health/summary: snapshot facts, on-disk layout, codec mix,
+    and INTEGRITY checks a 100 TB operator actually runs before trusting
+    a table — manifest chunk set == data chunk set (a crashed write or a
+    hand-deleted file shows up here), snapshot totals == data totals.
+    """
+    tbl = Table(table_path)
+    snap = tbl.snapshot()
+    if snap is None:
+        raise ValueError(f"no snapshot at {table_path}")
+
+    files = partition_file_counts(tbl)
+    chunks = spark.read.parquet(tbl.data_dir)
+    data_stats = chunks.agg(
+        F.count("*").alias("chunks"), F.sum("n_rows").alias("rows"),
+        F.sum("n_values").alias("values"),
+        F.sum("encoded_bytes").alias("enc"), F.sum("raw_bytes").alias("raw"),
+    ).first()
+    codec_mix = {
+        f"{r['column']}/{r['codec']}": r["n"]
+        for r in spark.read.parquet(tbl.manifest_dir)
+        .groupBy("column", "codec").agg(F.count("*").alias("n")).collect()
+    }
+    man_keys = spark.read.parquet(tbl.manifest_dir).select(
+        "partition_id", "chunk_id").distinct()
+    data_keys = chunks.select("partition_id", "chunk_id").distinct()
+    man_only = man_keys.exceptAll(data_keys).count()
+    data_only = data_keys.exceptAll(man_keys).count()
+
+    totals = snap.get("totals") or {}
+    checks = {
+        "manifest_chunks_without_data": int(man_only),
+        "data_chunks_without_manifest": int(data_only),
+        "snapshot_rows_match_data": int(totals.get("rows", -1)) == int(data_stats["rows"]),
+        "stage_encoded": snap.get("stage") == "encoded",
+    }
+    return {
+        "path": tbl.path,
+        "snapshot_version": snap.get("version"),
+        "stage": snap.get("stage"),
+        "mode": snap.get("mode", "batch"),
+        "partitions": len(files),
+        "data_files": sum(files.values()),
+        "chunks": int(data_stats["chunks"]),
+        "rows": int(data_stats["rows"]),
+        "values": int(data_stats["values"]),
+        "encoded_bytes": int(data_stats["enc"]),
+        "raw_bytes": int(data_stats["raw"]),
+        "compression_x": round(data_stats["raw"] / max(data_stats["enc"], 1), 3),
+        "on_disk_bytes": tbl.tree_bytes("data"),
+        "codec_mix": codec_mix,
+        "editions": sorted((snap.get("editions") or {}).keys())
+        if isinstance(snap.get("editions"), dict) else snap.get("editions", []),
+        "checks": checks,
+        # explicit per-kind predicate: `False == 0` is True in Python, so a
+        # naive all(v is True or v == 0) would call a failed boolean healthy
+        "healthy": (
+            man_only == 0 and data_only == 0
+            and checks["snapshot_rows_match_data"] is True
+            and checks["stage_encoded"] is True
+        ),
+    }
+
+
 def compact_table(spark: SparkSession, table_path: str, *,
                   min_files: int = 2, run_id: str | None = None) -> dict:
     """Rewrite every partition holding >= min_files chunk files into one

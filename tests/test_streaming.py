@@ -164,6 +164,38 @@ def test_append_retry_after_crash_before_lineage_is_idempotent(spark, tmp_path):
     assert man.count() == man.dropDuplicates(["partition_id", "chunk_id", "column"]).count()
 
 
+def test_describe_detects_orphans_and_health(spark, tmp_path, capsys):
+    """describe must pass on an intact table and flag a data chunk whose
+    manifest rows are missing (integrity check, exit code 1)."""
+    import json as _json
+    import os
+
+    from eggopress import cli, synth
+
+    table = str(tmp_path / "desc_tbl")
+    encode.encode_append(spark, synth.corpus_df(spark, 500), table,
+                         run_id="stream-00000001")
+    rc = cli.main(["describe", "--table", table], spark=spark)
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["healthy"] is True
+    assert out["rows"] == 500 and out["checks"]["snapshot_rows_match_data"]
+    assert out["compression_x"] > 1
+
+    # break it: remove the batch's manifest file -> orphan data chunks
+    tbl = Table(table)
+    for f in os.listdir(tbl.manifest_dir):
+        if f.startswith("append-stream-00000001"):
+            os.remove(os.path.join(tbl.manifest_dir, f))
+    # manifest dir now empty -> read needs at least one file; re-add a
+    # different batch's manifest so the reader has a schema
+    encode.encode_append(spark, synth.corpus_df(spark, 100, seed=9), table,
+                         run_id="stream-00000002")
+    rc = cli.main(["describe", "--table", table], spark=spark)
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and out["healthy"] is False
+    assert out["checks"]["data_chunks_without_manifest"] > 0
+
+
 def test_stream_stats_windowed_watermark(spark, tmp_path):
     landing = _landing(tmp_path, n_files=3)
     out = streaming.stream_stats(spark, landing, window="1 minute")
