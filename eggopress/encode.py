@@ -125,6 +125,37 @@ def _encode_fn(fail_partitions: frozenset[str],
     return fn
 
 
+# per-column-chunk manifest rows derived from staged chunk rows (blob
+# columns never referenced -> the parquet scan prunes them)
+_MANIFEST_STACK = [
+    "partition_id", "chunk_id",
+    "stack(4, 'doc_id', doc_id_codec, doc_id_bytes, "
+    "'source', source_codec, source_bytes, "
+    "'n_tok', n_tok_codec, n_tok_bytes, "
+    "'tokens', tokens_codec, tokens_bytes) as (column, codec, encoded_bytes)",
+    "n_rows", "n_values", "raw_bytes",
+    "n_tok_min", "n_tok_max", "tok_min", "tok_max",
+]
+
+
+def _chunk_stats(staged: DataFrame) -> list:
+    """Per-partition rollup of staged chunk rows (stats columns only)."""
+    return (
+        staged.groupBy("partition_id")
+        .agg(
+            F.count("*").alias("chunks"),
+            F.sum("n_rows").alias("rows"),
+            F.sum("n_values").alias("values"),
+            F.sum("raw_bytes").alias("raw"),
+            F.sum("encoded_bytes").alias("enc"),
+            F.concat_ws(
+                ",", F.array_distinct(F.collect_list("tokens_codec"))
+            ).alias("codecs"),
+        )
+        .collect()
+    )
+
+
 def encode_table(
     spark: SparkSession,
     df: DataFrame,
@@ -251,31 +282,8 @@ def encode_table(
 
         # manifest + lineage from the staged (blob-free) stats
         staged = spark.read.parquet(staging)
-        stats = (
-            staged.groupBy("partition_id")
-            .agg(
-                F.count("*").alias("chunks"),
-                F.sum("n_rows").alias("rows"),
-                F.sum("n_values").alias("values"),
-                F.sum("raw_bytes").alias("raw"),
-                F.sum("encoded_bytes").alias("enc"),
-                F.concat_ws(
-                    ",", F.array_distinct(F.collect_list("tokens_codec"))
-                ).alias("codecs"),
-            )
-            .collect()
-        )
-        # blob columns never referenced -> parquet scan prunes them
-        manifest = staged.selectExpr(
-            "partition_id", "chunk_id",
-            "stack(4, 'doc_id', doc_id_codec, doc_id_bytes, "
-            "'source', source_codec, source_bytes, "
-            "'n_tok', n_tok_codec, n_tok_bytes, "
-            "'tokens', tokens_codec, tokens_bytes) as (column, codec, encoded_bytes)",
-            "n_rows", "n_values", "raw_bytes",
-            "n_tok_min", "n_tok_max", "tok_min", "tok_max",
-        )
-        manifest.write.mode("append").parquet(tbl.manifest_dir)
+        stats = _chunk_stats(staged)
+        staged.selectExpr(*_MANIFEST_STACK).write.mode("append").parquet(tbl.manifest_dir)
 
         promoted = tbl.promote_partitions(run_id)
         now = time.time()
@@ -386,29 +394,14 @@ def encode_append(spark: SparkSession, df: DataFrame, table_path: str, *,
         .parquet(staging)
     )
     staged = spark.read.parquet(staging)
-    stats = (
-        staged.groupBy("partition_id")
-        .agg(F.count("*").alias("chunks"), F.sum("n_rows").alias("rows"),
-             F.sum("n_values").alias("values"), F.sum("raw_bytes").alias("raw"),
-             F.sum("encoded_bytes").alias("enc"),
-             F.concat_ws(",", F.array_distinct(F.collect_list("tokens_codec"))).alias("codecs"))
-        .collect()
-    )
+    stats = _chunk_stats(staged)
     # idempotent manifest: one deterministic file per batch
     # (manifest/append-<run_id>.parquet, atomic os.replace), written
     # driver-side — an at-least-once redelivery overwrites instead of
     # appending a second copy of the stats. O(chunks x 4) rows per
     # micro-batch, bounded by the batch size.
     man_rows = sorted(
-        staged.selectExpr(
-            "partition_id", "chunk_id",
-            "stack(4, 'doc_id', doc_id_codec, doc_id_bytes, "
-            "'source', source_codec, source_bytes, "
-            "'n_tok', n_tok_codec, n_tok_bytes, "
-            "'tokens', tokens_codec, tokens_bytes) as (column, codec, encoded_bytes)",
-            "n_rows", "n_values", "raw_bytes",
-            "n_tok_min", "n_tok_max", "tok_min", "tok_max",
-        ).collect(),
+        staged.selectExpr(*_MANIFEST_STACK).collect(),
         key=lambda r: (r["partition_id"], r["chunk_id"], r["column"]),
     )
     _write_manifest_file(tbl, f"append-{run_id}", man_rows)
