@@ -203,24 +203,22 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.6,
     # the whole pipeline runs on 64-bit shingle hashes: strings never
     # shuffle (4-25x fewer key bytes through df-count, prefix join, and
     # verification), and the hash table feeds three DAG branches, so it is
-    # materialized ONCE as scratch parquet and re-read — exactly the
-    # shingle-hash table any 100 TB set-similarity-join pipeline writes
-    # before joining. (A .persist() here would leak cached storage for the
-    # session lifetime, because the returned plan is lazy and there is no
-    # point at which the operator could safely unpersist.)
+    # persisted for the duration of THIS call only: the final (small) pair
+    # set is materialized to scratch parquet before returning and the hash
+    # table unpersisted — callers get persist-level speed with zero cached
+    # storage left behind (a bare .persist() on a lazily-returned plan
+    # would leak for the session lifetime).
     # the FINAL filter compares round(J, 6) >= threshold (6dp rounding
     # keeps the oracle hash stable), which admits pairs whose true J is
     # up to 5e-7 BELOW threshold — so all candidate-pruning machinery
     # (prefix length, positional filter) must guarantee coverage at the
     # slackened threshold or boundary pairs silently vanish
     t_eff = threshold - 5e-7
-    hs_docs = _materialize_scratch(
-        sh_docs.select(
-            "doc_id",
-            F.expr("transform(shingles, s -> xxhash64(s))").alias("hsh"),
-            "n_sh",
-        )
-    )
+    hs_docs = sh_docs.select(
+        "doc_id",
+        F.expr("transform(shingles, s -> xxhash64(s))").alias("hsh"),
+        "n_sh",
+    ).persist()
     ex = hs_docs.select("doc_id", "n_sh", F.explode("hsh").alias("sh"))
     dfreq = ex.groupBy("sh").agg(F.count("*").alias("df"))
     ordered = (
@@ -255,7 +253,7 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.6,
         .distinct()
     )
     full = hs_docs
-    return (
+    result_plan = (
         cand.join(full.select(F.col("doc_id").alias("id_a"),
                               F.col("hsh").alias("h_a"),
                               F.col("n_sh").alias("na")), "id_a")
@@ -270,6 +268,13 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.6,
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    try:
+        # run the whole job now (the pair set is the small side — the
+        # deduped output any pipeline materializes anyway), then release
+        # the cached hash table before handing the result back
+        return _materialize_scratch(result_plan)
+    finally:
+        hs_docs.unpersist()
 
 
 def ngram_jaccard_oracle(threshold: float = 0.6) -> str:
