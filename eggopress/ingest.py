@@ -54,21 +54,33 @@ def load_documents(spark: SparkSession, path: str, fmt: str,
 
 def read_manifest(manifest_path: str) -> list[dict]:
     """Parse + validate a datapackage-style resource list. Relative
-    resource paths resolve against the manifest's directory."""
+    resource paths resolve against the manifest's directory.
+
+    Accepts both reference manifest shapes: datapackage.json's
+    "resources" with string compression (datasets/dbsnp/
+    datapackage.json:1-7) and meta.json's "sources" with boolean
+    compression (datasets/1kg-genotypes/meta.json — true means gzip).
+    Unnamed resources get name "<manifest name>-<i>" (the reference keys
+    them positionally too)."""
     with open(manifest_path) as f:
         pkg = json.load(f)
-    resources = pkg.get("resources")
+    resources = pkg.get("resources") or pkg.get("sources")
     if not isinstance(resources, list) or not resources:
         raise ValueError(f"manifest has no resources list: {manifest_path}")
     base = os.path.dirname(os.path.abspath(manifest_path))
+    pkg_name = pkg.get("name") or os.path.basename(base) or "pkg"
     out = []
     for i, r in enumerate(resources):
-        name = r.get("name")
+        name = r.get("name") or f"{pkg_name}-{i}"
         path = r.get("path") or r.get("url")
         fmt = r.get("format", "jsonl")
         comp = r.get("compression", "none")
-        if not name or not path:
-            raise ValueError(f"resource {i} needs name and path: {r}")
+        if comp is True:
+            comp = "gzip"
+        if comp is False or comp is None:
+            comp = "none"
+        if not path:
+            raise ValueError(f"resource {i} needs a path: {r}")
         if fmt not in FORMATS:
             raise ValueError(f"resource {name!r}: unknown format {fmt!r}")
         if comp not in COMPRESSIONS:

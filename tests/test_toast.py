@@ -53,6 +53,24 @@ def test_manifest_ingest_multi_resource_gzip(spark, tmp_path, capsys):
     assert rows == {"resource:web": 80, "resource:books": 40}
 
 
+def test_manifest_accepts_meta_json_shape(spark, tmp_path):
+    """The reference's meta.json shape (sources list, boolean compression,
+    unnamed resources) must parse too."""
+    b = tmp_path / "r0.jsonl"
+    b.write_text("\n".join(json.dumps({"text": f"meta shape doc {i}"})
+                           for i in range(10)))
+    meta = tmp_path / "meta.json"
+    meta.write_text(json.dumps({
+        "name": "onekg",
+        "dag": "VCF2ADAMTask",
+        "sources": [{"format": "jsonl", "compression": False, "path": "r0.jsonl"}],
+    }))
+    res = ingest.read_manifest(str(meta))
+    assert res[0]["name"] == "onekg-0" and res[0]["compression"] == "none"
+    docs = ingest.load_manifest_documents(spark, str(meta))
+    assert docs.count() == 10
+
+
 def test_manifest_validation_errors(tmp_path):
     bad = tmp_path / "bad.json"
     bad.write_text(json.dumps({"resources": [{"name": "x", "path": "p",
