@@ -42,12 +42,20 @@ def roundtrip_mismatches(original: DataFrame, decoded: DataFrame) -> DataFrame:
 
 
 def roundtrip_ok(original: DataFrame, decoded: DataFrame) -> bool:
-    """Equality AND cardinality: a fabricated duplicate row fans out to two
-    equal join rows that the mismatch filter cannot see, so the row counts
-    must also agree."""
-    if roundtrip_mismatches(original, decoded).limit(1).count() != 0:
-        return False
-    return original.count() == decoded.count()
+    """Exact MULTISET equality on every column: symmetric exceptAll is
+    empty. Strictly stronger than a join-based compare (lost rows,
+    fabricated rows, duplicated rows, and any value change all surface)
+    and it is ONE Spark job instead of a mismatch job plus two counts.
+
+    Rows are packed into a single struct column first: Spark 4.1's
+    RewriteExceptAll mis-binds multi-column plans that contain a
+    dropDuplicates aggregate upstream (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND
+    on the pruned child) — one struct attribute gives the rewrite nothing
+    to prune."""
+    cols = ["doc_id", "tokens", "n_tok", "source"]
+    o = original.select(F.struct(*cols).alias("r"))
+    d = decoded.select(F.struct(*cols).alias("r"))
+    return o.exceptAll(d).unionAll(d.exceptAll(o)).limit(1).count() == 0
 
 
 def parquet_reference_bytes(df: DataFrame, scratch_dir: str) -> int:
