@@ -91,6 +91,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                      help="predicate decode: skip chunks/rows below this n_tok")
     dec.add_argument("--n-tok-max", type=int, default=None,
                      help="predicate decode: skip chunks/rows above this n_tok")
+    dec.add_argument("--version", type=int, default=None,
+                     help="time travel: decode the file set recorded by "
+                          "snapshot N (append tables keep history)")
 
     ver = sub.add_parser("verify", help="round-trip + ratio verification")
     ver.add_argument("--input", required=True)
@@ -178,9 +181,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             rng = None
             if args.n_tok_min is not None or args.n_tok_max is not None:
                 rng = (args.n_tok_min, args.n_tok_max)
-            decode.decode_table(spark, args.table, sources, n_tok_range=rng).write.mode(
-                "overwrite"
-            ).parquet(args.output)
+            decode.decode_table(
+                spark, args.table, sources, n_tok_range=rng, version=args.version
+            ).write.mode("overwrite").parquet(args.output)
             print(json.dumps({"output": args.output}))
         elif args.cmd == "verify":
             from eggopress import decode, verify

@@ -18,8 +18,17 @@ from eggopress.tablefmt import Table
 
 def read_encoded(spark: SparkSession, table_path: str,
                  sources: list[str] | None = None,
-                 n_tok_range: tuple[int | None, int | None] | None = None) -> DataFrame:
-    df = spark.read.parquet(Table(table_path).data_dir)
+                 n_tok_range: tuple[int | None, int | None] | None = None,
+                 version: int | None = None) -> DataFrame:
+    tbl = Table(table_path)
+    if version is not None:
+        # time travel: exactly the chunk files snapshot <version> recorded
+        # (append-mode tables keep earlier batches' files in place, so any
+        # committed version stays readable until a rewrite)
+        files = tbl.files_at_version(version)
+        df = spark.read.option("basePath", tbl.data_dir).parquet(*files)
+    else:
+        df = spark.read.parquet(tbl.data_dir)
     if sources:
         df = df.filter(df.source.isin(sources))  # partition-pruned scan
     if n_tok_range:
@@ -54,12 +63,14 @@ def _decode_fn(batches):
 
 def decode_table(spark: SparkSession, table_path: str,
                  sources: list[str] | None = None,
-                 n_tok_range: tuple[int | None, int | None] | None = None) -> DataFrame:
+                 n_tok_range: tuple[int | None, int | None] | None = None,
+                 version: int | None = None) -> DataFrame:
     """Decode a table; `n_tok_range=(lo, hi)` is the predicate path (P2):
     chunk-level min/max skipping at the scan, then an exact row filter on
     the decoded output (chunk stats only bound, rows inside a surviving
-    chunk may still miss the range)."""
-    enc = read_encoded(spark, table_path, sources, n_tok_range).select(
+    chunk may still miss the range). `version=N` time-travels to snapshot
+    N's recorded file set."""
+    enc = read_encoded(spark, table_path, sources, n_tok_range, version).select(
         "doc_id_blob", "source_blob", "n_tok_blob", "tokens_blob"
     )
     out = enc.mapInArrow(_decode_fn, CORPUS_SCHEMA)

@@ -316,6 +316,7 @@ def encode_table(
             "run_id": run_id,
             "schema": "corpus_v1",
             "partitions": tbl.partition_dirs(),
+            "files": tbl.partition_file_listing(),
             "totals": {
                 "chunks": int(total_chunks), "rows": int(total_rows),
                 "values": int(total_values), "raw_bytes": int(total_raw),
@@ -439,6 +440,7 @@ def encode_append(spark: SparkSession, df: DataFrame, table_path: str, *,
         "run_id": run_id,
         "schema": "corpus_v1",
         "partitions": tbl.partition_dirs(),
+        "files": tbl.partition_file_listing(),
         "totals": {
             "chunks": int(tot["chunks"]), "rows": int(tot["rows"]),
             "values": int(tot["values"]), "raw_bytes": int(tot["raw"]),

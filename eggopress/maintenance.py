@@ -140,6 +140,7 @@ def compact_table(spark: SparkSession, table_path: str, *,
     snap = dict(tbl.snapshot() or {})
     snap["stage"] = "encoded"
     snap["partitions"] = tbl.partition_dirs()
+    snap["files"] = tbl.partition_file_listing()
     snap["last_compaction"] = run_id
     tbl.commit_snapshot(snap)
     return {

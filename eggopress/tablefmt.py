@@ -163,6 +163,41 @@ class Table:
         shutil.rmtree(staged, ignore_errors=True)
         return promoted
 
+    def partition_file_listing(self) -> dict[str, list[str]]:
+        """partition_id -> sorted chunk parquet file names, as currently on
+        disk. Recorded into each snapshot so a versioned read (time travel)
+        can reconstruct exactly the files that existed at commit time —
+        meaningful for append-mode tables, whose earlier batches' files
+        stay in place (a fresh batch encode replaces files, so its history
+        is readable only until the rewrite)."""
+        out: dict[str, list[str]] = {}
+        for pid in self.partition_dirs():
+            d = os.path.join(self.data_dir, pid)
+            out[pid] = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+        return out
+
+    def files_at_version(self, version: int) -> list[str]:
+        """Absolute chunk-file paths recorded in snapshot <version>."""
+        with open(os.path.join(self.meta_dir, f"v{version}.metadata.json")) as f:
+            snap = json.load(f)
+        listing = snap.get("files")
+        if listing is None:
+            raise ValueError(
+                f"snapshot v{version} of {self.path} records no file listing "
+                "(pre-time-travel snapshot)"
+            )
+        paths = []
+        for pid, files in sorted(listing.items()):
+            for fname in files:
+                p = os.path.join(self.data_dir, pid, fname)
+                if not os.path.exists(p):
+                    raise FileNotFoundError(
+                        f"time travel to v{version}: {p} no longer exists "
+                        "(overwritten by a later batch encode or compaction)"
+                    )
+                paths.append(p)
+        return paths
+
     def partition_dirs(self) -> list[str]:
         out = []
         if not os.path.isdir(self.data_dir):

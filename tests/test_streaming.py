@@ -164,6 +164,43 @@ def test_append_retry_after_crash_before_lineage_is_idempotent(spark, tmp_path):
     assert man.count() == man.dropDuplicates(["partition_id", "chunk_id", "column"]).count()
 
 
+def test_time_travel_reads_each_batch_snapshot(spark, tmp_path):
+    """Append tables keep earlier batches' files, so every committed
+    snapshot stays readable: decode(version=N) returns exactly the rows
+    present when vN committed."""
+    landing = _landing(tmp_path, n_files=3)
+    table = str(tmp_path / "tt_tbl")
+    streaming.stream_ingest(
+        spark, landing, table,
+        checkpoint=str(tmp_path / "ckpt_tt"), max_files_per_trigger=1,
+    ).awaitTermination()
+
+    tbl = Table(table)
+    assert tbl.current_version() >= 3
+    # encoded snapshots, oldest-first; each adds one 40-doc batch
+    import json as _json
+    import os
+
+    versions = []
+    for f in sorted(os.listdir(tbl.meta_dir)):
+        if f.endswith(".metadata.json"):
+            snap = _json.load(open(os.path.join(tbl.meta_dir, f)))
+            if snap.get("stage") == "encoded":
+                versions.append(snap["version"])
+    counts = [decode.decode_table(spark, table, version=v).count()
+              for v in sorted(versions)]
+    assert counts == [40, 80, 120]
+
+    # compaction rewrites files: history before it becomes unreadable,
+    # loudly, while the current read still works
+    from eggopress import maintenance
+
+    maintenance.compact_table(spark, table)
+    assert decode.decode_table(spark, table).count() == 120
+    with pytest.raises(Exception, match="no longer exists"):
+        decode.decode_table(spark, table, version=sorted(versions)[0]).count()
+
+
 def test_describe_detects_orphans_and_health(spark, tmp_path, capsys):
     """describe must pass on an intact table and flag a data chunk whose
     manifest rows are missing (integrity check, exit code 1)."""
