@@ -83,6 +83,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                                           "(manifest vs data, snapshot totals)")
     dsc.add_argument("--table", required=True)
 
+    rbk = sub.add_parser("rollback", help="roll an append table back to snapshot N "
+                                          "(newer batches retired aside)")
+    rbk.add_argument("--table", required=True)
+    rbk.add_argument("--version", type=int, required=True)
+
     dec = sub.add_parser("decode", help="decode a table back to corpus parquet")
     dec.add_argument("--table", required=True)
     dec.add_argument("--output", required=True)
@@ -174,6 +179,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             report = maintenance.table_report(spark, args.table)
             print(json.dumps(report))
             return 0 if report["healthy"] else 1
+        elif args.cmd == "rollback":
+            from eggopress import maintenance
+
+            print(json.dumps(maintenance.rollback_table(
+                spark, args.table, args.version)))
         elif args.cmd == "decode":
             from eggopress import decode
 

@@ -61,6 +61,25 @@ def _decode_fn(batches):
             )
 
 
+def decode_changes(spark: SparkSession, table_path: str,
+                   since_version: int, version: int | None = None) -> DataFrame:
+    """Incremental read: decode only the chunk files ADDED after snapshot
+    since_version (up to `version`, default the current snapshot) — the
+    consume-only-new-batches feed a training pipeline tails an append
+    table with. Pure file-set difference of the two snapshots' recorded
+    listings; no data is scanned to compute the diff."""
+    tbl = Table(table_path)
+    to_version = version if version is not None else tbl.current_version()
+    old = set(tbl.files_at_version(since_version))
+    new = [p for p in tbl.files_at_version(to_version) if p not in old]
+    if not new:
+        return spark.createDataFrame([], CORPUS_SCHEMA)
+    enc = spark.read.option("basePath", tbl.data_dir).parquet(*new).select(
+        "doc_id_blob", "source_blob", "n_tok_blob", "tokens_blob"
+    )
+    return enc.mapInArrow(_decode_fn, CORPUS_SCHEMA)
+
+
 def decode_table(spark: SparkSession, table_path: str,
                  sources: list[str] | None = None,
                  n_tok_range: tuple[int | None, int | None] | None = None,

@@ -99,6 +99,80 @@ def table_report(spark: SparkSession, table_path: str) -> dict:
     }
 
 
+def rollback_table(spark: SparkSession, table_path: str, version: int, *,
+                   run_id: str | None = None) -> dict:
+    """Roll an APPEND table back to snapshot <version>: batches committed
+    after it are physically RETIRED (moved aside, not deleted — same
+    non-destructive posture as fresh encode), their per-run manifest
+    files retired with them, and a new snapshot is committed as a copy of
+    the target. Default reads, describe, and integrity checks then see
+    exactly the rolled-back state; the retired files remain on disk for
+    manual recovery until the next encode purges retired dirs.
+
+    Only append-mode history is rollback-able: a batch re-encode replaces
+    files wholesale, so there is nothing on disk to roll back to (raises).
+    """
+    import json
+    import uuid as _uuid
+
+    tbl = Table(table_path)
+    cur = tbl.current_version()
+    if version >= cur:
+        raise ValueError(f"rollback target v{version} is not before current v{cur}")
+    with open(os.path.join(tbl.meta_dir, f"v{version}.metadata.json")) as f:
+        target = json.load(f)
+    if target.get("stage") != "encoded" or target.get("mode") != "append":
+        raise ValueError(
+            f"v{version} is not an encoded append snapshot (stage="
+            f"{target.get('stage')!r}, mode={target.get('mode')!r})"
+        )
+    visible = set(tbl.files_at_version(version))  # validates existence
+    visible_runs = {
+        os.path.basename(p).rsplit("-", 1)[0] for p in visible
+    }
+    run_id = run_id or f"rollback-{_uuid.uuid4().hex[:8]}"
+    retired_dir = os.path.join(tbl.path, f"_retired_{run_id}")
+    retired_files = 0
+    for pid in tbl.partition_dirs():
+        d = os.path.join(tbl.data_dir, pid)
+        for fname in list(os.listdir(d)):
+            p = os.path.join(d, fname)
+            if fname.endswith(".parquet") and p not in visible:
+                dst = os.path.join(retired_dir, "data", pid)
+                os.makedirs(dst, exist_ok=True)
+                os.replace(p, os.path.join(dst, fname))
+                retired_files += 1
+        if not os.listdir(d):
+            os.rmdir(d)
+            src_dir = os.path.dirname(d)
+            if not os.listdir(src_dir):
+                os.rmdir(src_dir)
+    # per-run manifest files of rolled-back batches go aside too, so the
+    # manifest<->data integrity diff stays clean
+    for fname in list(os.listdir(tbl.manifest_dir)):
+        if fname.startswith("append-") and fname.endswith(".parquet"):
+            man_run = fname[len("append-"):-len(".parquet")]
+            if man_run not in visible_runs:
+                dst = os.path.join(retired_dir, "manifest")
+                os.makedirs(dst, exist_ok=True)
+                os.replace(os.path.join(tbl.manifest_dir, fname),
+                           os.path.join(dst, fname))
+
+    from eggopress import lineage as lineagelib
+
+    lineagelib.append(spark, tbl, [
+        (run_id, f"v{cur}->v{version}", "rollback", "done", 1,
+         f"retired_files:{retired_files}", None, None, None, 0)
+    ])
+    snap = {k: v for k, v in target.items()
+            if k not in ("version", "committed_at_ms")}
+    snap["rolled_back_from"] = cur
+    snap["run_id"] = run_id
+    new_version = tbl.commit_snapshot(snap)
+    return {"run_id": run_id, "restored_version": version,
+            "new_version": new_version, "retired_files": retired_files}
+
+
 def compact_table(spark: SparkSession, table_path: str, *,
                   min_files: int = 2, run_id: str | None = None) -> dict:
     """Rewrite every partition holding >= min_files chunk files into one

@@ -191,14 +191,77 @@ def test_time_travel_reads_each_batch_snapshot(spark, tmp_path):
               for v in sorted(versions)]
     assert counts == [40, 80, 120]
 
-    # compaction rewrites files: history before it becomes unreadable,
-    # loudly, while the current read still works
+    # compaction rewrites files: pre-compact versions that listed a
+    # rewritten partition become unreadable LOUDLY while the current read
+    # still works. The latest pre-compact version lists every partition
+    # (including whichever fat one gets rewritten), so it must raise —
+    # earlier versions may survive depending on file->batch order.
     from eggopress import maintenance
 
-    maintenance.compact_table(spark, table)
+    latest_pre_compact = max(versions)
+    assert maintenance.compact_table(spark, table)["compacted_partitions"] >= 1
     assert decode.decode_table(spark, table).count() == 120
     with pytest.raises(Exception, match="no longer exists"):
-        decode.decode_table(spark, table, version=sorted(versions)[0]).count()
+        decode.decode_table(spark, table, version=latest_pre_compact).count()
+
+
+def _encoded_versions(tbl):
+    import json as _json
+    import os
+
+    out = []
+    for f in sorted(os.listdir(tbl.meta_dir)):
+        if f.endswith(".metadata.json"):
+            snap = _json.load(open(os.path.join(tbl.meta_dir, f)))
+            if snap.get("stage") == "encoded":
+                out.append(snap["version"])
+    return sorted(out)
+
+
+def test_decode_changes_reads_only_new_batches(spark, tmp_path):
+    landing = _landing(tmp_path, n_files=3)
+    table = str(tmp_path / "chg_tbl")
+    streaming.stream_ingest(
+        spark, landing, table,
+        checkpoint=str(tmp_path / "ckpt_chg"), max_files_per_trigger=1,
+    ).awaitTermination()
+    v1, v2, v3 = _encoded_versions(Table(table))
+    assert decode.decode_changes(spark, table, since_version=v1).count() == 80
+    assert decode.decode_changes(spark, table, since_version=v2, version=v3).count() == 40
+    assert decode.decode_changes(spark, table, since_version=v3).count() == 0
+
+
+def test_rollback_restores_snapshot_and_stays_healthy(spark, tmp_path, capsys):
+    import json as _json
+
+    from eggopress import cli, maintenance
+
+    landing = _landing(tmp_path, n_files=3)
+    table = str(tmp_path / "rbk_tbl")
+    streaming.stream_ingest(
+        spark, landing, table,
+        checkpoint=str(tmp_path / "ckpt_rbk"), max_files_per_trigger=1,
+    ).awaitTermination()
+    tbl = Table(table)
+    v1, v2, v3 = _encoded_versions(tbl)
+    assert decode.decode_table(spark, table).count() == 120
+
+    out = maintenance.rollback_table(spark, table, v2)
+    assert out["retired_files"] > 0
+    assert decode.decode_table(spark, table).count() == 80, \
+        "default reads must see the rolled-back state"
+    # integrity holds after rollback (retired manifests went aside too)
+    rc = cli.main(["describe", "--table", table], spark=spark)
+    report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and report["healthy"] is True and report["rows"] == 80
+    # retired batch recoverable on disk
+    import os
+
+    retired = [e for e in os.listdir(table) if e.startswith("_retired_rollback-")]
+    assert retired
+
+    with pytest.raises(ValueError, match="not before current"):
+        maintenance.rollback_table(spark, table, tbl.current_version())
 
 
 def test_describe_detects_orphans_and_health(spark, tmp_path, capsys):
