@@ -88,6 +88,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     rbk.add_argument("--table", required=True)
     rbk.add_argument("--version", type=int, required=True)
 
+    hst = sub.add_parser("history", help="snapshot log (version/stage/rows/run)")
+    hst.add_argument("--table", required=True)
+
+    vac = sub.add_parser("vacuum", help="delete retired dirs + expire old snapshots")
+    vac.add_argument("--table", required=True)
+    vac.add_argument("--keep-snapshots", type=int, default=10)
+
     dec = sub.add_parser("decode", help="decode a table back to corpus parquet")
     dec.add_argument("--table", required=True)
     dec.add_argument("--output", required=True)
@@ -184,6 +191,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
             print(json.dumps(maintenance.rollback_table(
                 spark, args.table, args.version)))
+        elif args.cmd == "history":
+            from eggopress import maintenance
+
+            for snap in maintenance.snapshot_history(args.table):
+                print(json.dumps(snap))
+        elif args.cmd == "vacuum":
+            from eggopress import maintenance
+
+            print(json.dumps(maintenance.vacuum_table(
+                args.table, keep_snapshots=args.keep_snapshots)))
         elif args.cmd == "decode":
             from eggopress import decode
 

@@ -99,6 +99,68 @@ def table_report(spark: SparkSession, table_path: str) -> dict:
     }
 
 
+def snapshot_history(table_path: str) -> list[dict]:
+    """Snapshot log, oldest first: (version, stage, mode, run_id, rows,
+    committed_at_ms) per metadata file — the Iceberg `history` analog."""
+    import json
+
+    tbl = Table(table_path)
+    out = []
+    if not os.path.isdir(tbl.meta_dir):
+        return out
+    for f in sorted(os.listdir(tbl.meta_dir)):
+        if not f.endswith(".metadata.json"):
+            continue
+        with open(os.path.join(tbl.meta_dir, f)) as fh:
+            snap = json.load(fh)
+        out.append({
+            "version": snap.get("version"),
+            "stage": snap.get("stage"),
+            "mode": snap.get("mode", "batch"),
+            "run_id": snap.get("run_id"),
+            "rows": (snap.get("totals") or {}).get("rows"),
+            "committed_at_ms": snap.get("committed_at_ms"),
+            "rolled_back_from": snap.get("rolled_back_from"),
+            "last_compaction": snap.get("last_compaction"),
+        })
+    return sorted(out, key=lambda s: s["version"] or 0)
+
+
+def vacuum_table(table_path: str, *, keep_snapshots: int = 10) -> dict:
+    """Reclaim space: delete ALL _retired_* dirs (rollback/fresh-encode
+    leftovers — after vacuum those rollback points are gone for good) and
+    expire snapshot metadata older than the newest keep_snapshots
+    versions. Time travel to an expired version stops working; the
+    current version is always kept. Driver-side only, no Spark job."""
+    import shutil
+
+    tbl = Table(table_path)
+    removed_dirs = 0
+    freed = 0
+    if os.path.isdir(tbl.path):
+        for ent in list(os.listdir(tbl.path)):
+            if ent.startswith("_retired_"):
+                p = os.path.join(tbl.path, ent)
+                freed += sum(
+                    os.path.getsize(os.path.join(r, f))
+                    for r, _, fs in os.walk(p) for f in fs
+                )
+                shutil.rmtree(p, ignore_errors=True)
+                removed_dirs += 1
+    expired = []
+    cur = tbl.current_version()
+    cutoff = cur - max(keep_snapshots, 1) + 1
+    if os.path.isdir(tbl.meta_dir):
+        for f in sorted(os.listdir(tbl.meta_dir)):
+            if f.startswith("v") and f.endswith(".metadata.json"):
+                v = int(f[1:].split(".")[0])
+                if v < cutoff:
+                    os.remove(os.path.join(tbl.meta_dir, f))
+                    expired.append(v)
+    return {"retired_dirs_removed": removed_dirs, "bytes_freed": freed,
+            "snapshots_expired": expired, "current_version": cur}
+
+
 def rollback_table(spark: SparkSession, table_path: str, version: int, *,
                    run_id: str | None = None) -> dict:
     """Roll an APPEND table back to snapshot <version>: batches committed

@@ -296,6 +296,39 @@ def test_describe_detects_orphans_and_health(spark, tmp_path, capsys):
     assert out["checks"]["data_chunks_without_manifest"] > 0
 
 
+def test_history_and_vacuum(spark, tmp_path, capsys):
+    import json as _json
+    import os
+
+    from eggopress import cli, maintenance
+
+    landing = _landing(tmp_path, n_files=3)
+    table = str(tmp_path / "hv_tbl")
+    streaming.stream_ingest(
+        spark, landing, table,
+        checkpoint=str(tmp_path / "ckpt_hv"), max_files_per_trigger=1,
+    ).awaitTermination()
+    tbl = Table(table)
+
+    hist = maintenance.snapshot_history(table)
+    assert [h["version"] for h in hist] == list(range(1, len(hist) + 1))
+    assert hist[-1]["rows"] == 120 and hist[-1]["mode"] == "append"
+
+    # rollback leaves a retired dir; vacuum reclaims it + expires history
+    v2 = [h["version"] for h in hist if h["stage"] == "encoded"][1]
+    maintenance.rollback_table(spark, table, v2)
+    assert any(e.startswith("_retired_") for e in os.listdir(table))
+    rc = cli.main(["vacuum", "--table", table, "--keep-snapshots", "2"], spark=spark)
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["retired_dirs_removed"] >= 1 and out["bytes_freed"] > 0
+    assert not any(e.startswith("_retired_") for e in os.listdir(table))
+    # expired snapshots gone, current + keep window intact, reads fine
+    kept = [h["version"] for h in maintenance.snapshot_history(table)]
+    assert max(kept) == tbl.current_version() and len(kept) == 2
+    assert decode.decode_table(spark, table).count() == 80
+
+
 def test_stream_stats_windowed_watermark(spark, tmp_path):
     landing = _landing(tmp_path, n_files=3)
     out = streaming.stream_stats(spark, landing, window="1 minute")
