@@ -371,6 +371,26 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(assets)
 
 
+def _q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real nearest-neighbor resize over synthetic rasters; the checksum
+    of every resized pixel has a closed-form SQL oracle."""
+    from eggopress.pipeline import multimodal
+
+    assets = multimodal.attach_raster(_t(spark, sf_dir, "documents"))
+    return multimodal.resize_frames(assets, 8, 6).select(
+        "doc_id", "width", "height", "n_frames", "pixel_sum"
+    )
+
+
+def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eggopress.pipeline import multimodal
+
+    assets = multimodal.attach_raster(_t(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(assets, 2).select(
+        "doc_id", "frame_idx", "pixel_sum"
+    )
+
+
 def _q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -448,6 +468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_fingerprint": _q_text_fingerprint,
         "multimodal_features": _q_multimodal,
+        "multimodal_resize": _q_multimodal_resize,
+        "multimodal_frame_sample": _q_multimodal_frames,
         # generic relational coverage (aggregate / broadcast join / window)
         "agg_pricing_summary": _q_agg_pricing,
         "join_segment_rollup": _q_join_segment_rollup,
@@ -535,6 +557,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": textstats.QUALITY_ORACLE,
         "text_fingerprint": textstats.FINGERPRINT_ORACLE,
         "multimodal_features": multimodal.FEATURES_ORACLE,
+        "multimodal_resize": multimodal.resize_oracle(8, 6),
+        "multimodal_frame_sample": multimodal.sample_frames_oracle(2),
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,
                    cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,

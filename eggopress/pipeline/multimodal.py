@@ -141,6 +141,170 @@ def extract_features(assets: DataFrame) -> DataFrame:
     return flat.mapInPandas(fn, FEATURE_SCHEMA)
 
 
+# ----------------------------------------------------- raster ops
+# Real image/video OPERATIONS without media libraries: the fixture
+# synthesizes raw rasters with a closed-form pixel function
+# pixel(x, y, frame, doc) = (x + y + frame + doc_id) % 256, so
+# nearest-neighbor resize and frame sampling are genuinely computed over
+# pixel buffers AND their checksums have exact SQL oracles.
+
+RASTER_MIME = "video/x-raw-gray"
+
+
+def _raster_dims(doc_ids: "np.ndarray"):
+    w = (doc_ids % 13) + 4
+    h = (doc_ids % 7) + 3
+    frames = (doc_ids % 3) + 1
+    return w, h, frames
+
+
+def attach_raster(df: DataFrame) -> DataFrame:
+    """documents -> (doc_id, payload:binary, meta{width,height,n_frames,
+    mime}): a deterministic single-channel raster 'video' per doc
+    (n_frames stacked width x height planes)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            w, h, fr = _raster_dims(ids)
+            payloads = []
+            for i in range(len(ids)):
+                x = np.arange(w[i], dtype=np.int64)
+                y = np.arange(h[i], dtype=np.int64)
+                f = np.arange(fr[i], dtype=np.int64)
+                px = (x[None, None, :] + y[None, :, None] + f[:, None, None]
+                      + ids[i]) % 256
+                payloads.append(px.astype(np.uint8).tobytes())
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "payload": payloads,
+                "width": w.astype("int32"),
+                "height": h.astype("int32"),
+                "n_frames": fr.astype("int32"),
+            })
+
+    flat = df.select("doc_id").mapInPandas(
+        fn, "doc_id bigint, payload binary, width int, height int, n_frames int"
+    )
+    return flat.select(
+        "doc_id", "payload",
+        F.struct("width", "height", "n_frames",
+                 F.lit(RASTER_MIME).alias("mime")).alias("meta"),
+    )
+
+
+def resize_frames(assets: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize of every frame to (out_w, out_h) — a REAL
+    pixel operation: each output pixel gathers in[y*h//out_h, x*w//out_w]
+    via vectorized fancy indexing (the per-image python step only builds
+    index maps; all pixel movement is numpy)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ox = np.arange(out_w, dtype=np.int64)
+        oy = np.arange(out_h, dtype=np.int64)
+        for pdf in batches:
+            out_payload, out_sum = [], []
+            for _, row in pdf.iterrows():
+                w, h, fr = int(row["width"]), int(row["height"]), int(row["n_frames"])
+                buf = np.frombuffer(row["payload"], dtype=np.uint8).reshape(fr, h, w)
+                sx = (ox * w) // out_w
+                sy = (oy * h) // out_h
+                resized = buf[:, sy[:, None], sx[None, :]]
+                out_payload.append(resized.tobytes())
+                out_sum.append(int(resized.astype(np.int64).sum()))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": out_payload,
+                "width": np.full(len(pdf), out_w, dtype="int32"),
+                "height": np.full(len(pdf), out_h, dtype="int32"),
+                "n_frames": pdf["n_frames"],
+                "pixel_sum": np.array(out_sum, dtype="int64"),
+            })
+
+    flat = assets.select("doc_id", "payload", "meta.width", "meta.height",
+                         "meta.n_frames")
+    return flat.mapInPandas(
+        fn, "doc_id bigint, payload binary, width int, height int, "
+            "n_frames int, pixel_sum bigint"
+    )
+
+
+def sample_frames(assets: DataFrame, every_k: int = 2) -> DataFrame:
+    """Keep every k-th frame (frame 0, k, 2k, ...): one output row per
+    sampled frame with its pixel checksum — the video-pipeline
+    frame-extraction shape (explode on the batch side, vectorized sums)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, sums, frames = [], [], [], []
+            for _, row in pdf.iterrows():
+                w, h, fr = int(row["width"]), int(row["height"]), int(row["n_frames"])
+                buf = np.frombuffer(row["payload"], dtype=np.uint8).reshape(fr, h, w)
+                for k in range(0, fr, every_k):
+                    ids.append(row["doc_id"])
+                    fidx.append(k)
+                    sums.append(int(buf[k].astype(np.int64).sum()))
+                    frames.append(buf[k].tobytes())
+            yield pd.DataFrame({
+                "doc_id": np.array(ids, dtype="int64"),
+                "frame_idx": np.array(fidx, dtype="int32"),
+                "pixel_sum": np.array(sums, dtype="int64"),
+                "frame": frames,
+            })
+
+    flat = assets.select("doc_id", "payload", "meta.width", "meta.height",
+                         "meta.n_frames")
+    return flat.mapInPandas(
+        fn, "doc_id bigint, frame_idx int, pixel_sum bigint, frame binary"
+    )
+
+
+def _pixel_sum_duck(x_hi: str, y_hi: str, sx: str, sy: str, extra: str) -> str:
+    """SQL closed form of sum over out pixels of ((sx + sy + extra) % 256)."""
+    return (
+        f"list_sum(list_transform(generate_series(0, {y_hi} - 1), oy -> "
+        f"list_sum(list_transform(generate_series(0, {x_hi} - 1), ox -> "
+        f"(({sx}) + ({sy}) + ({extra})) % 256))))"
+    )
+
+
+def resize_oracle(out_w: int, out_h: int) -> str:
+    """Checksums of the nearest-neighbor-resized first... ALL frames,
+    computed symbolically from the pixel formula."""
+    inner = _pixel_sum_duck(
+        str(out_w), str(out_h),
+        f"(ox * w) // {out_w}", f"(oy * h) // {out_h}", "f + doc_id"
+    )
+    return f"""
+SELECT doc_id,
+       cast({out_w} as int) AS width,
+       cast({out_h} as int) AS height,
+       cast(n_frames as int) AS n_frames,
+       cast(list_sum(list_transform(generate_series(0, n_frames - 1), f ->
+         {inner})) as bigint) AS pixel_sum
+FROM (SELECT doc_id,
+             (doc_id % 13) + 4 AS w,
+             (doc_id % 7) + 3 AS h,
+             (doc_id % 3) + 1 AS n_frames
+      FROM documents)
+"""
+
+
+def sample_frames_oracle(every_k: int = 2) -> str:
+    inner = _pixel_sum_duck("w", "h", "ox", "oy", "f + doc_id")
+    return f"""
+SELECT doc_id,
+       cast(f as int) AS frame_idx,
+       cast({inner} as bigint) AS pixel_sum
+FROM (SELECT doc_id,
+             (doc_id % 13) + 4 AS w,
+             (doc_id % 7) + 3 AS h,
+             unnest(generate_series(0, (doc_id % 3))) AS f
+      FROM documents)
+WHERE f % {every_k} = 0
+"""
+
+
 # the header fields are deterministic functions of the document (and the
 # ascii-only corpus makes the pixel checksum the character-code sum), so
 # the WHOLE feature row — including the dims parsed back out of the binary

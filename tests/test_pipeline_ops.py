@@ -230,6 +230,31 @@ def test_multimodal_payloads_are_valid_bmp(spark, docs):
         assert r["meta"]["mime"] == "image/bmp"
 
 
+def test_raster_resize_and_frame_sample_pixels(spark, docs):
+    """Independent pixel-level check: recompute nearest-neighbor resize
+    and frame extraction with plain numpy from the pixel formula and
+    compare PAYLOAD BYTES, not just checksums."""
+    import numpy as np
+    from eggopress.pipeline import multimodal
+
+    assets = multimodal.attach_raster(docs.limit(10))
+    resized = {r["doc_id"]: r for r in
+               multimodal.resize_frames(assets, 8, 6).collect()}
+    sampled = {(r["doc_id"], r["frame_idx"]): r for r in
+               multimodal.sample_frames(assets, 2).collect()}
+    for d in resized:
+        w, h, fr = (d % 13) + 4, (d % 7) + 3, (d % 3) + 1
+        x = np.arange(w); y = np.arange(h); f = np.arange(fr)
+        px = ((x[None, None, :] + y[None, :, None] + f[:, None, None] + d)
+              % 256).astype(np.uint8)
+        sx = (np.arange(8) * w) // 8
+        sy = (np.arange(6) * h) // 6
+        expect = px[:, sy[:, None], sx[None, :]]
+        assert bytes(resized[d]["payload"]) == expect.tobytes()
+        for k in range(0, fr, 2):
+            assert bytes(sampled[(d, k)]["frame"]) == px[k].tobytes()
+
+
 def test_exact_dedup_drops_known_copies(spark, docs):
     from eggopress.pipeline import dedup
 
