@@ -67,10 +67,16 @@ def decode_changes(spark: SparkSession, table_path: str,
     since_version (up to `version`, default the current snapshot) — the
     consume-only-new-batches feed a training pipeline tails an append
     table with. Pure file-set difference of the two snapshots' recorded
-    listings; no data is scanned to compute the diff."""
+    listings; no data is scanned to compute the diff.
+
+    The since-side listing is used by NAME only (its files may already be
+    gone — that's fine, they aren't read). Caveat: a compaction rewrites
+    file names, so the first changes-read after one returns the whole
+    compacted set; checkpoint consumers against post-compaction versions.
+    """
     tbl = Table(table_path)
     to_version = version if version is not None else tbl.current_version()
-    old = set(tbl.files_at_version(since_version))
+    old = set(tbl.listing_at_version(since_version))
     new = [p for p in tbl.files_at_version(to_version) if p not in old]
     if not new:
         return spark.createDataFrame([], CORPUS_SCHEMA)

@@ -176,8 +176,10 @@ class Table:
             out[pid] = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
         return out
 
-    def files_at_version(self, version: int) -> list[str]:
-        """Absolute chunk-file paths recorded in snapshot <version>."""
+    def listing_at_version(self, version: int) -> list[str]:
+        """Absolute chunk-file paths recorded in snapshot <version>, as
+        recorded — existence NOT checked (diff computations only need the
+        names; see files_at_version for validated reads)."""
         with open(os.path.join(self.meta_dir, f"v{version}.metadata.json")) as f:
             snap = json.load(f)
         listing = snap.get("files")
@@ -186,16 +188,22 @@ class Table:
                 f"snapshot v{version} of {self.path} records no file listing "
                 "(pre-time-travel snapshot)"
             )
-        paths = []
-        for pid, files in sorted(listing.items()):
-            for fname in files:
-                p = os.path.join(self.data_dir, pid, fname)
-                if not os.path.exists(p):
-                    raise FileNotFoundError(
-                        f"time travel to v{version}: {p} no longer exists "
-                        "(overwritten by a later batch encode or compaction)"
-                    )
-                paths.append(p)
+        return [
+            os.path.join(self.data_dir, pid, fname)
+            for pid, files in sorted(listing.items())
+            for fname in files
+        ]
+
+    def files_at_version(self, version: int) -> list[str]:
+        """listing_at_version, validated: every recorded file must still
+        exist (reads fail loudly instead of silently returning a subset)."""
+        paths = self.listing_at_version(version)
+        for p in paths:
+            if not os.path.exists(p):
+                raise FileNotFoundError(
+                    f"time travel to v{version}: {p} no longer exists "
+                    "(overwritten by a later batch encode or compaction)"
+                )
         return paths
 
     def partition_dirs(self) -> list[str]:

@@ -230,6 +230,14 @@ def test_decode_changes_reads_only_new_batches(spark, tmp_path):
     assert decode.decode_changes(spark, table, since_version=v2, version=v3).count() == 40
     assert decode.decode_changes(spark, table, since_version=v3).count() == 0
 
+    # a new batch after a ROLLBACK of the last one: changes-since must
+    # work even though the since-side listing names retired files
+    from eggopress import maintenance
+
+    maintenance.rollback_table(spark, table, v2)
+    assert decode.decode_changes(spark, table, since_version=v3).count() == 0
+    assert decode.decode_changes(spark, table, since_version=v1).count() == 40
+
 
 def test_rollback_restores_snapshot_and_stays_healthy(spark, tmp_path, capsys):
     import json as _json
