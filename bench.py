@@ -108,6 +108,8 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
             "dedup_minhash_lsh",
             "dedup_ngram_jaccard",
             "ann_brute_topk",
+            "ann_ivf_topk",
+            "multimodal_resize",
             "text_token_counts",
             "text_fingerprint",
             "multimodal_features",
