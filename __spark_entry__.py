@@ -141,6 +141,15 @@ def _q_predicate_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_projected_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 on the data path: decode only doc_id/n_tok/source — the token
+    blobs (the bulk of the table) are never read or decoded."""
+    from eggopress import decode
+
+    path = _roundtrip_table(spark, sf_dir)
+    return decode.decode_table(spark, path, columns=["doc_id", "n_tok", "source"])
+
+
 def _q_edition_flat_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flat edition (token-level rows, the nested->flat duality) rollup."""
     from eggopress import editions
@@ -447,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c6_codec_selection": _q_codec_selection,
         "v1_lineage": _q_lineage,
         "p2_predicate_decode": _q_predicate_decode,
+        "p4_projected_decode": _q_projected_decode,
         "edition_flat_rollup": _q_edition_flat_rollup,
         "s2_manifest_ingest": _q_manifest_ingest,
         "stream_ingest_rollup": _q_stream_ingest,
@@ -514,6 +524,12 @@ def oracle_sql() -> dict[str, str]:
                    source
             FROM documents
             WHERE len({textstats.WORDS_DUCK}) BETWEEN 30 AND 60
+        """,
+        "p4_projected_decode": f"""
+            SELECT concat(source, '-', lpad(cast(doc_id as varchar), 10, '0')) AS doc_id,
+                   cast(len({textstats.WORDS_DUCK}) as int) AS n_tok,
+                   source
+            FROM documents
         """,
         "edition_flat_rollup": f"""
             SELECT source,

@@ -87,6 +87,18 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         assert n_dec == summary["rows"], (n_dec, summary["rows"])
         extras["tokens_per_sec_decode"] = round(summary["values"] / times["corpus_decode"])
 
+        # projected decode: doc_id/n_tok/source only — token blobs are
+        # column-pruned at the scan, so this prices the metadata-query
+        # path (the one a 100 TB stats job takes) vs the full decode above
+        from pyspark.sql import functions as F
+
+        n_proj = timed(
+            "corpus_stats_decode",
+            lambda: decode.decode_table(spark, table, columns=["n_tok", "source"])
+            .groupBy("source").agg(F.sum("n_tok")).count(),
+        )
+        assert n_proj > 0
+
         ok = timed(
             "corpus_verify",
             lambda: verify.roundtrip_ok(corpus, decode.decode_table(spark, table)),

@@ -105,27 +105,54 @@ def chunk_rows_to_batch(rows: list[dict]) -> pa.RecordBatch:
     return pa.RecordBatch.from_arrays(arrays, schema=CHUNK_ARROW_SCHEMA)
 
 
+# which encoded streams each corpus column needs at decode time; tokens
+# re-nests through the n_tok lengths, so it pulls that stream too
+BLOB_DEPS = {
+    "doc_id": ("doc_id_blob",),
+    "source": ("source_blob",),
+    "n_tok": ("n_tok_blob",),
+    "tokens": ("n_tok_blob", "tokens_blob"),
+}
+
+
+def decode_chunk_projected(columns: tuple[str, ...],
+                           blobs: dict[str, bytes]) -> pa.RecordBatch:
+    """Decode only `columns` of a chunk (column order = CORPUS schema
+    order). `blobs` must hold every stream in BLOB_DEPS[c] for each
+    requested column — and nothing forces it to hold the rest, which is
+    the point: a projection never touches the undecoded streams."""
+    arrays: dict[str, pa.Array] = {}
+    if "doc_id" in columns:
+        arrays["doc_id"] = _string_from_parts(*codecs.decode_strs(blobs["doc_id_blob"]))
+    if "source" in columns:
+        arrays["source"] = _string_from_parts(*codecs.decode_strs(blobs["source_blob"]))
+    if "n_tok" in columns or "tokens" in columns:
+        n_tok = codecs.decode_ints(blobs["n_tok_blob"])
+        if "n_tok" in columns:
+            arrays["n_tok"] = pa.array(n_tok.astype(np.int32), type=pa.int32())
+        if "tokens" in columns:
+            values = codecs.decode_ints(blobs["tokens_blob"]).astype(np.int32)
+            offsets = np.zeros(len(n_tok) + 1, dtype=np.int64)
+            np.cumsum(n_tok, out=offsets[1:])
+            arrays["tokens"] = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int64()).cast(pa.int32()),
+                pa.array(values, type=pa.int32()),
+            ).cast(CORPUS_ARROW_SCHEMA.field("tokens").type)
+    fields = [f for f in CORPUS_ARROW_SCHEMA if f.name in columns]
+    return pa.RecordBatch.from_arrays(
+        [arrays[f.name] for f in fields], schema=pa.schema(fields)
+    )
+
+
 def decode_chunk_row(doc_blob: bytes, src_blob: bytes, ntok_blob: bytes,
                      tok_blob: bytes) -> pa.RecordBatch:
     """Inverse of encode_batch: blobs -> corpus batch, bit-identical."""
-    doc_lengths, doc_buf = codecs.decode_strs(doc_blob)
-    src_lengths, src_buf = codecs.decode_strs(src_blob)
-    n_tok = codecs.decode_ints(ntok_blob)
-    values = codecs.decode_ints(tok_blob).astype(np.int32)
-
-    n = len(doc_lengths)
-    offsets = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(n_tok, out=offsets[1:])
-    tokens_arr = pa.ListArray.from_arrays(
-        pa.array(offsets, type=pa.int64()).cast(pa.int32()),
-        pa.array(values, type=pa.int32()),
-    ).cast(CORPUS_ARROW_SCHEMA.field("tokens").type)
-    return pa.RecordBatch.from_arrays(
-        [
-            _string_from_parts(doc_lengths, doc_buf),
-            tokens_arr,
-            pa.array(n_tok.astype(np.int32), type=pa.int32()),
-            _string_from_parts(src_lengths, src_buf),
-        ],
-        schema=CORPUS_ARROW_SCHEMA,
+    return decode_chunk_projected(
+        tuple(f.name for f in CORPUS_ARROW_SCHEMA),
+        {
+            "doc_id_blob": doc_blob,
+            "source_blob": src_blob,
+            "n_tok_blob": ntok_blob,
+            "tokens_blob": tok_blob,
+        },
     )

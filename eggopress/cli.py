@@ -106,6 +106,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     dec.add_argument("--version", type=int, default=None,
                      help="time travel: decode the file set recorded by "
                           "snapshot N (append tables keep history)")
+    dec.add_argument("--columns", default=None,
+                     help="comma-separated projection (doc_id,tokens,n_tok,"
+                          "source): only these columns' blob streams are "
+                          "read and decoded")
 
     ver = sub.add_parser("verify", help="round-trip + ratio verification")
     ver.add_argument("--input", required=True)
@@ -208,8 +212,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             rng = None
             if args.n_tok_min is not None or args.n_tok_max is not None:
                 rng = (args.n_tok_min, args.n_tok_max)
+            cols = args.columns.split(",") if args.columns else None
             decode.decode_table(
-                spark, args.table, sources, n_tok_range=rng, version=args.version
+                spark, args.table, sources, n_tok_range=rng,
+                version=args.version, columns=cols,
             ).write.mode("overwrite").parquet(args.output)
             print(json.dumps({"output": args.output}))
         elif args.cmd == "verify":

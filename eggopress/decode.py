@@ -8,8 +8,7 @@ layout — a sources= filter prunes at the parquet scan.
 
 from __future__ import annotations
 
-import pyarrow as pa
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, types as T
 
 from eggopress import chunk as chunklib
 from eggopress.schema import CORPUS_SCHEMA
@@ -43,26 +42,52 @@ def read_encoded(spark: SparkSession, table_path: str,
     return df
 
 
-def _decode_fn(batches):
-    for batch in batches:
-        cols = {
-            name: batch.column(name)
-            for name in ("doc_id_blob", "source_blob", "n_tok_blob", "tokens_blob")
-        }
-        for i in range(batch.num_rows):  # per-CHUNK loop (thousands of rows each)
-            yield pa.RecordBatch.from_arrays(
-                chunklib.decode_chunk_row(
-                    cols["doc_id_blob"][i].as_py(),
-                    cols["source_blob"][i].as_py(),
-                    cols["n_tok_blob"][i].as_py(),
-                    cols["tokens_blob"][i].as_py(),
-                ).columns,
-                schema=chunklib.CORPUS_ARROW_SCHEMA,
-            )
+ALL_COLUMNS = tuple(f.name for f in CORPUS_SCHEMA)
+
+
+def _resolve_columns(columns: list[str] | None) -> tuple[tuple[str, ...], list[str]]:
+    """-> (decode set in corpus-schema order, needed blob column names)."""
+    if columns is None:
+        want = ALL_COLUMNS
+    else:
+        bad = [c for c in columns if c not in ALL_COLUMNS]
+        if bad or not columns:
+            raise ValueError(f"columns must be a non-empty subset of {ALL_COLUMNS}, got {columns}")
+        want = tuple(c for c in ALL_COLUMNS if c in columns)
+    blob_names: list[str] = []
+    for c in want:
+        for b in chunklib.BLOB_DEPS[c]:
+            if b not in blob_names:
+                blob_names.append(b)
+    return want, blob_names
+
+
+def _make_decode_fn(want: tuple[str, ...], blob_names: list[str]):
+    def _decode_fn(batches):
+        for batch in batches:
+            cols = {name: batch.column(name) for name in blob_names}
+            for i in range(batch.num_rows):  # per-CHUNK loop (thousands of rows each)
+                yield chunklib.decode_chunk_projected(
+                    want, {n: cols[n][i].as_py() for n in blob_names}
+                )
+    return _decode_fn
+
+
+def _decode_df(enc: DataFrame, columns: list[str] | None) -> DataFrame:
+    """Projected decode (P4 on the data path): only the requested columns'
+    blob streams are selected, so parquet column pruning never reads the
+    other blobs' bytes — a doc_id/n_tok/source scan of a 100 TB table
+    skips the ~95% of it that is token payload."""
+    want, blob_names = _resolve_columns(columns)
+    out_schema = T.StructType([f for f in CORPUS_SCHEMA if f.name in want])
+    return enc.select(*blob_names).mapInArrow(
+        _make_decode_fn(want, blob_names), out_schema
+    )
 
 
 def decode_changes(spark: SparkSession, table_path: str,
-                   since_version: int, version: int | None = None) -> DataFrame:
+                   since_version: int, version: int | None = None,
+                   columns: list[str] | None = None) -> DataFrame:
     """Incremental read: decode only the chunk files ADDED after snapshot
     since_version (up to `version`, default the current snapshot) — the
     consume-only-new-batches feed a training pipeline tails an append
@@ -79,30 +104,36 @@ def decode_changes(spark: SparkSession, table_path: str,
     old = set(tbl.listing_at_version(since_version))
     new = [p for p in tbl.files_at_version(to_version) if p not in old]
     if not new:
-        return spark.createDataFrame([], CORPUS_SCHEMA)
-    enc = spark.read.option("basePath", tbl.data_dir).parquet(*new).select(
-        "doc_id_blob", "source_blob", "n_tok_blob", "tokens_blob"
-    )
-    return enc.mapInArrow(_decode_fn, CORPUS_SCHEMA)
+        want, _ = _resolve_columns(columns)
+        return spark.createDataFrame(
+            [], T.StructType([f for f in CORPUS_SCHEMA if f.name in want])
+        )
+    enc = spark.read.option("basePath", tbl.data_dir).parquet(*new)
+    return _decode_df(enc, columns)
 
 
 def decode_table(spark: SparkSession, table_path: str,
                  sources: list[str] | None = None,
                  n_tok_range: tuple[int | None, int | None] | None = None,
-                 version: int | None = None) -> DataFrame:
+                 version: int | None = None,
+                 columns: list[str] | None = None) -> DataFrame:
     """Decode a table; `n_tok_range=(lo, hi)` is the predicate path (P2):
     chunk-level min/max skipping at the scan, then an exact row filter on
     the decoded output (chunk stats only bound, rows inside a surviving
     chunk may still miss the range). `version=N` time-travels to snapshot
-    N's recorded file set."""
-    enc = read_encoded(spark, table_path, sources, n_tok_range, version).select(
-        "doc_id_blob", "source_blob", "n_tok_blob", "tokens_blob"
-    )
-    out = enc.mapInArrow(_decode_fn, CORPUS_SCHEMA)
+    N's recorded file set. `columns=` projects at the BLOB level: only the
+    requested columns' encoded streams are read and decoded (P4 on data)."""
+    enc = read_encoded(spark, table_path, sources, n_tok_range, version)
+    eff = columns
+    if n_tok_range and columns is not None and "n_tok" not in columns:
+        eff = list(columns) + ["n_tok"]  # needed for the exact row filter
+    out = _decode_df(enc, eff)
     if n_tok_range:
         lo, hi = n_tok_range
         if lo is not None:
             out = out.filter(out.n_tok >= lo)
         if hi is not None:
             out = out.filter(out.n_tok <= hi)
+    if eff is not columns and columns is not None:
+        out = out.select(*[f.name for f in CORPUS_SCHEMA if f.name in columns])
     return out

@@ -63,6 +63,32 @@ def test_roundtrip_bit_identical(spark, corpus, encoded_table):
     assert mism.count() == 0
 
 
+def test_projected_decode_matches_full(spark, corpus, encoded_table):
+    """columns= decodes only the requested streams, bit-identical to the
+    same projection of a full decode; order of requested names is honored;
+    the n_tok_range helper column is dropped from the output."""
+    path, _ = encoded_table
+    proj = decode.decode_table(spark, path, columns=["doc_id", "n_tok", "source"])
+    assert proj.columns == ["doc_id", "n_tok", "source"]
+    full = decode.decode_table(spark, path).select("doc_id", "n_tok", "source")
+    assert proj.exceptAll(full).count() == 0
+    assert full.exceptAll(proj).count() == 0
+
+    ranged = decode.decode_table(spark, path, n_tok_range=(30, 60), columns=["doc_id"])
+    assert ranged.columns == ["doc_id"]
+    expect = corpus.filter(F.col("n_tok").between(30, 60)).count()
+    assert ranged.count() == expect
+
+    tokens_only = decode.decode_table(spark, path, columns=["tokens"])
+    assert tokens_only.columns == ["tokens"]
+    assert tokens_only.count() == N_DOCS
+
+    with pytest.raises(ValueError):
+        decode.decode_table(spark, path, columns=["nope"])
+    with pytest.raises(ValueError):
+        decode.decode_table(spark, path, columns=[])
+
+
 def test_compression_beats_reference_parquet(spark, corpus, encoded_table, scratch):
     path, _ = encoded_table
     report = verify.compression_report(spark, path, corpus, scratch)

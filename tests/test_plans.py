@@ -38,6 +38,18 @@ def test_decode_scan_prunes_partitions_and_columns(spark, table):
     assert "tokens_blob" not in read_schema, "unreferenced blob must be pruned"
 
 
+def test_projected_decode_never_reads_token_blobs(spark, table):
+    """decode_table(columns=) must push blob-level projection to the scan:
+    a doc_id/n_tok/source decode reads zero token-payload bytes."""
+    from eggopress import decode
+
+    df = decode.decode_table(spark, table, columns=["doc_id", "n_tok", "source"])
+    read_schema = [l for l in _formatted(df).splitlines() if "ReadSchema" in l][0]
+    assert "tokens_blob" not in read_schema, "token payload must be pruned"
+    for needed in ("doc_id_blob", "n_tok_blob", "source_blob"):
+        assert needed in read_schema
+
+
 def test_stats_scan_never_reads_blobs(spark, table):
     from eggopress.tablefmt import Table
 
