@@ -183,6 +183,13 @@ def encode_table(
     tbl = Table(table_path)
     run_id = run_id or uuid.uuid4().hex[:12]
     t0 = time.time()
+    phases: dict[str, float] = {}
+    _last = [t0]
+
+    def _mark(name: str) -> None:
+        now = time.time()
+        phases[name] = round(phases.get(name, 0.0) + (now - _last[0]), 3)
+        _last[0] = now
     if not resume:
         # non-destructive: demote the snapshot, move the previous table's
         # data/manifest/lineage ASIDE (not delete) — if this encode dies,
@@ -212,6 +219,7 @@ def encode_table(
         tbl.commit_snapshot({"stage": "planned", "salts": salts,
                              "run_id": run_id, "schema": "corpus_v1"})
 
+    _mark("plan")
     all_pids = partition_ids(salts)
     done = set(lineagelib.done_partitions(spark, tbl)) if resume else set()
     todo = [p for p in all_pids if p not in done]
@@ -268,6 +276,7 @@ def encode_table(
                     .mode("overwrite")
                     .parquet(staging)
                 )
+                _mark("encode_write")
                 break
             except Exception as exc:
                 # attribute the failure to the partition named in the task
@@ -294,6 +303,7 @@ def encode_table(
         staged = spark.read.parquet(staging)
         stats = _chunk_stats(staged)
         staged.selectExpr(*_MANIFEST_STACK).write.mode("append").parquet(tbl.manifest_dir)
+        _mark("stats_manifest")
 
         promoted = tbl.promote_partitions(run_id)
         now = time.time()
@@ -318,6 +328,7 @@ def encode_table(
                      "", 0, 0, 0, int((now - t0) * 1000))
                 )
         lineagelib.append(spark, tbl, lineage_rows)
+        _mark("promote_lineage")
 
     final_version = tbl.commit_snapshot(
         {
@@ -337,8 +348,10 @@ def encode_table(
     # the replacing table is now the committed truth — only NOW is it safe
     # to drop the previous table's retired contents
     tbl.purge_retired()
+    _mark("commit")
     return {
         "run_id": run_id,
+        "phase_sec": phases,
         "snapshot_version": final_version,
         "partitions": len(todo),
         "skipped": len(done),
