@@ -317,6 +317,21 @@ def _q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), 3)
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over simhash near-dup pairs: transitive
+    chains collapse into one cluster (min reachable doc_id)."""
+    from eggopress.pipeline import dedup
+
+    return dedup.resolve_clusters(dedup.simhash_pairs(_t(spark, sf_dir, "documents"), 3))
+
+
+def _q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary histogram via per-partition bincount partial aggregation."""
+    from eggopress.pipeline import textstats
+
+    return textstats.token_histogram(textstats.tokenize(_t(spark, sf_dir, "documents")))
+
+
 def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eggopress.pipeline import simsearch
 
@@ -469,6 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "dedup_cluster_resolve": _q_dedup_clusters,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "ann_brute_topk": _q_ann_brute,
         "ann_lsh_topk": _q_ann_lsh,
@@ -477,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _q_text_lang_id,
         "text_quality": _q_text_quality,
         "text_fingerprint": _q_text_fingerprint,
+        "text_token_histogram": _q_token_histogram,
         "multimodal_features": _q_multimodal,
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frame_sample": _q_multimodal_frames,
@@ -554,6 +571,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": dedup.minhash_lsh_oracle(),
         "dedup_simhash": dedup.SIMHASH_ORACLE,
         "dedup_simhash_pairs": dedup.simhash_pairs_oracle(3),
+        "dedup_cluster_resolve": dedup.resolve_clusters_oracle(
+            dedup.simhash_pairs_oracle(3)
+        ),
         "dedup_embedding_cosine": simsearch.cosine_neardup_oracle(64, 0.45),
         "ann_brute_topk": f"""
             SELECT vec_id, {cos} AS cos
@@ -572,6 +592,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": textstats.LANG_ID_ORACLE,
         "text_quality": textstats.QUALITY_ORACLE,
         "text_fingerprint": textstats.FINGERPRINT_ORACLE,
+        "text_token_histogram": textstats.TOKEN_HISTOGRAM_ORACLE,
         "multimodal_features": multimodal.FEATURES_ORACLE,
         "multimodal_resize": multimodal.resize_oracle(8, 6),
         "multimodal_frame_sample": multimodal.sample_frames_oracle(2),

@@ -497,3 +497,81 @@ FROM (SELECT doc_id, source,
 SIMHASH_ORACLE_BODY = f"SELECT doc_id, simhash FROM ({_SIMHASH_BODY_CORE})"
 
 SIMHASH_ORACLE = _SIMHASH_BODY_CORE
+
+
+# ------------------------------------------------- cluster resolution
+
+def resolve_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over candidate duplicate pairs -> one row per
+    involved doc: (doc_id, cluster_id), cluster_id = the lexicographic min
+    doc_id reachable through the pair graph. This is the step a real
+    dedup pipeline runs AFTER pair generation: transitive chains (A~B,
+    B~C, no direct A~C edge) must collapse into ONE keep-group, which no
+    per-pair filter can do.
+
+    Algorithm: min-label propagation. labels start as self; each round
+    every node takes min(own, neighbors' labels); stop when a round
+    changes nothing. Rounds needed = graph diameter — LSH/banded dup
+    clusters are near-cliques (diameter <= ~3), so 3-5 rounds in
+    practice; the cap guards adversarial chains (for which the
+    large-star/small-star alternation with its O(log n) round bound is
+    the published alternative — not needed at observed diameters).
+
+    Scale shape: every round is ONE shuffle (groupBy x) over the
+    pair-involved docs only — a small slice of the corpus — plus a small
+    broadcast-size join; labels are re-materialized to scratch parquet
+    each round so no lineage chain or persisted-RDD storage accumulates
+    across iterations.
+    """
+    e = pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
+    edges = _materialize_scratch(
+        e.union(e.select(F.col("y").alias("x"), F.col("x").alias("y"))).distinct()
+    )
+    lab = _materialize_scratch(
+        edges.select(F.col("x").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neigh_min = (
+            edges.join(
+                lab.select(F.col("node").alias("y"), F.col("label").alias("ylab")), "y"
+            )
+            .groupBy("x").agg(F.min("ylab").alias("nmin"))
+            .withColumnRenamed("x", "node")
+        )
+        new = _materialize_scratch(
+            lab.join(neigh_min, "node", "left").select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+        )
+        changed = (
+            new.alias("n").join(lab.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label")).count()
+        )
+        lab = new
+        if changed == 0:
+            return lab.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"resolve_clusters did not converge in {max_iter} rounds "
+        "(graph diameter exceeds the cap; raise max_iter)"
+    )
+
+
+def resolve_clusters_oracle(pairs_sql: str) -> str:
+    """DuckDB equivalent: transitive closure by recursive CTE, then the
+    min reachable id per node. `pairs_sql` must select (id_a, id_b)."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+    SELECT id_a AS x, id_b AS y FROM pairs
+    UNION
+    SELECT id_b AS x, id_a AS y FROM pairs
+),
+reach(x, y) AS (
+    SELECT x, x AS y FROM edges
+    UNION
+    SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+)
+SELECT x AS doc_id, min(y) AS cluster_id FROM reach GROUP BY x
+"""

@@ -188,3 +188,44 @@ SELECT doc_id,
        source
 FROM documents
 """
+
+
+def token_histogram(corpus: DataFrame, min_count: int = 1) -> DataFrame:
+    """Vocabulary histogram over a corpus-shaped frame (tokens:
+    array<int>) -> (token, n). The naive plan — explode + groupBy —
+    materializes one row PER TOKEN OCCURRENCE before the partial
+    aggregate collapses them; at 10^12 tokens that is 10^12 transient
+    rows. Here each Arrow batch is folded to a np.bincount vector first,
+    so a partition emits at most VOCAB (token, count) rows no matter how
+    many tokens it holds, and the groupBy shuffle moves
+    <= n_partitions x VOCAB rows total."""
+    import numpy as np
+    import pyarrow as pa
+
+    def _hist(batches):
+        counts = np.zeros(VOCAB, dtype=np.int64)
+        for batch in batches:
+            arr = batch.column("tokens")
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            if len(flat):
+                counts += np.bincount(flat, minlength=VOCAB)
+        nz = np.nonzero(counts)[0]
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(nz.astype(np.int32)), pa.array(counts[nz])],
+            names=["token", "n"],
+        )
+
+    return (
+        corpus.select("tokens")
+        .mapInArrow(_hist, "token int, n long")
+        .groupBy("token")
+        .agg(F.sum("n").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+
+
+TOKEN_HISTOGRAM_ORACLE = f"""
+SELECT token, count(*) AS n
+FROM (SELECT unnest({TOKENS_DUCK}) AS token FROM documents)
+GROUP BY token
+"""

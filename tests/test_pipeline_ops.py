@@ -265,3 +265,44 @@ def test_exact_dedup_drops_known_copies(spark, docs):
     dropped = out.agg(F.sum("dropped")).first()[0]
     assert kept + dropped == 2 * base
     assert dropped >= base  # every doc had at least one copy
+
+
+def test_resolve_clusters_collapses_transitive_chains(spark):
+    """A~B, B~C with no direct A~C edge must land in ONE cluster labeled
+    by the min id; disjoint components keep separate labels."""
+    from eggopress.pipeline import dedup
+
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("e", "f"), ("c", "d")],
+        "id_a string, id_b string",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.resolve_clusters(pairs).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "e", "f": "e"}
+
+
+def test_resolve_clusters_raises_past_diameter_cap(spark):
+    from eggopress.pipeline import dedup
+
+    chain = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(6)]
+    pairs = spark.createDataFrame(chain, "id_a string, id_b string")
+    with pytest.raises(RuntimeError):
+        dedup.resolve_clusters(pairs, max_iter=2)
+    ok = dedup.resolve_clusters(pairs)
+    assert {r["cluster_id"] for r in ok.collect()} == {"n00"}
+
+
+def test_token_histogram_matches_explode(spark, docs):
+    """The bincount partial-agg plan must equal the naive explode+groupBy."""
+    from eggopress.pipeline import textstats
+
+    corpus = textstats.tokenize(docs)
+    fast = textstats.token_histogram(corpus)
+    naive = (
+        corpus.select(F.explode("tokens").alias("token"))
+        .groupBy("token").agg(F.count("*").alias("n"))
+    )
+    assert fast.exceptAll(naive).count() == 0
+    assert naive.exceptAll(fast).count() == 0
