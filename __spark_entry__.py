@@ -150,6 +150,14 @@ def _q_projected_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode.decode_table(spark, path, columns=["doc_id", "n_tok", "source"])
 
 
+def _q_stats_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only per-source totals from chunk stats (no blob decode)."""
+    from eggopress import decode
+
+    path = _roundtrip_table(spark, sf_dir)
+    return decode.stats_rollup(spark, path)
+
+
 def _q_edition_flat_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flat edition (token-level rows, the nested->flat duality) rollup."""
     from eggopress import editions
@@ -472,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v1_lineage": _q_lineage,
         "p2_predicate_decode": _q_predicate_decode,
         "p4_projected_decode": _q_projected_decode,
+        "agg_stats_pushdown": _q_stats_pushdown,
         "edition_flat_rollup": _q_edition_flat_rollup,
         "s2_manifest_ingest": _q_manifest_ingest,
         "stream_ingest_rollup": _q_stream_ingest,
@@ -547,6 +556,11 @@ def oracle_sql() -> dict[str, str]:
                    cast(len({textstats.WORDS_DUCK}) as int) AS n_tok,
                    source
             FROM documents
+        """,
+        "agg_stats_pushdown": f"""
+            SELECT source, count(*) AS n_docs,
+                   cast(sum(len({textstats.WORDS_DUCK})) as bigint) AS n_tok_sum
+            FROM documents GROUP BY source
         """,
         "edition_flat_rollup": f"""
             SELECT source,

@@ -8,7 +8,7 @@ layout — a sources= filter prunes at the parquet scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, types as T
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from eggopress import chunk as chunklib
 from eggopress.schema import CORPUS_SCHEMA
@@ -110,6 +110,46 @@ def decode_changes(spark: SparkSession, table_path: str,
         )
     enc = spark.read.option("basePath", tbl.data_dir).parquet(*new)
     return _decode_df(enc, columns)
+
+
+def seen_doc_ids(spark: SparkSession, table_path: str,
+                 exclude_run: str | None = None) -> DataFrame:
+    """doc_ids currently in the table, via blob-projected decode of the
+    doc_id stream only (the smallest column — a few % of table bytes).
+    exclude_run drops files named by that run: the streaming cross-batch
+    dedup filter must not see its OWN crashed replay's partial promote,
+    or the re-run would encode a different row subset than the first
+    attempt and the deterministic <run_id>-<i> overwrite would leave
+    orphan chunks. At 10^10+ docs, swap this scan for a digest sidecar
+    or bloom index — the join contract (a doc_id column) is unchanged."""
+    import os as _os
+
+    tbl = Table(table_path)
+    files = [
+        _os.path.join(tbl.data_dir, pid, f)
+        for pid, names in tbl.partition_file_listing().items()
+        for f in names
+        if exclude_run is None or not f.startswith(f"{exclude_run}-")
+    ]
+    if not files:
+        return spark.createDataFrame([], "doc_id string")
+    enc = spark.read.option("basePath", tbl.data_dir).parquet(*files)
+    return _decode_df(enc, ["doc_id"])
+
+
+def stats_rollup(spark: SparkSession, table_path: str,
+                 version: int | None = None) -> DataFrame:
+    """Metadata-only aggregation: per-source doc and token totals from
+    the chunk STATS columns alone — no blob is read (column pruning
+    drops them at the scan) and nothing is decoded. The scan is
+    O(#chunks), so 'how many docs / tokens per source' over a 100 TB
+    table costs a manifest-scale pass, the same pushdown a SELECT
+    count(*) answers from parquet row-group metadata."""
+    enc = read_encoded(spark, table_path, version=version)
+    return enc.groupBy("source").agg(
+        F.sum(F.col("n_rows").cast("long")).alias("n_docs"),
+        F.sum("n_values").alias("n_tok_sum"),
+    )
 
 
 def decode_table(spark: SparkSession, table_path: str,

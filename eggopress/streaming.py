@@ -24,9 +24,16 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 DOCS_STREAM_SCHEMA = "doc_id string, text string, source string, ts timestamp"
 
 
-def _normalize(docs: DataFrame, default_source: str | None) -> DataFrame:
+def _normalize(docs: DataFrame, default_source: str | None,
+               drop_dups: bool = True) -> DataFrame:
     """Same normalization contract as batch ingest: fill missing sources,
-    content-address missing doc_ids, dedup exact copies within the batch."""
+    content-address missing doc_ids, dedup exact copies within the batch.
+
+    drop_dups=False skips the dropDuplicates — the streaming path must
+    NOT apply it on the unbounded stream, where Structured Streaming
+    turns it into a stateful operator whose doc_id state grows forever
+    in the checkpoint; it dedups per micro-batch inside the sink instead
+    (bounded state: none)."""
     out = docs
     if default_source is not None:
         out = out.withColumn("source", F.coalesce("source", F.lit(default_source)))
@@ -34,31 +41,57 @@ def _normalize(docs: DataFrame, default_source: str | None) -> DataFrame:
         "doc_id",
         F.coalesce("doc_id", F.md5(F.concat_ws("\x1f", "source", "text"))),
     )
-    return out.select("doc_id", "text", "source").dropDuplicates(["doc_id"])
+    out = out.select("doc_id", "text", "source")
+    return out.dropDuplicates(["doc_id"]) if drop_dups else out
 
 
 def stream_ingest(spark: SparkSession, input_dir: str, table_path: str, *,
                   checkpoint: str, default_source: str | None = "stream",
                   max_files_per_trigger: int | None = None,
-                  available_now: bool = True):
+                  available_now: bool = True,
+                  dedup_across_batches: bool = False):
     """Start the streaming ingest query. available_now=True drains the
     landing dir and stops (the testable trigger); False runs continuously.
     Returns the StreamingQuery — callers awaitTermination() as needed.
+
+    Dedup posture (bounded state by design): exact copies within one
+    micro-batch always collapse (batch-local dropDuplicates in the sink
+    — applying it on the unbounded stream instead would make Structured
+    Streaming keep every doc_id ever seen in checkpoint state).
+    dedup_across_batches=True additionally anti-joins each micro-batch
+    against the doc_ids already IN THE TABLE (blob-projected decode of
+    the doc_id stream; content-addressed ids make exact copies collide),
+    so a re-crawled document never lands twice — across batches, across
+    stream restarts with a fresh checkpoint, and across multiple landing
+    dirs feeding one table. Replay-safe: a batch already recorded in
+    lineage is skipped wholesale BEFORE the filter (its rows are in the
+    table — filtering it would drop everything and desync the
+    exactly-once path), and the seen-set excludes the current run's own
+    files so a crashed-mid-promote replay re-encodes the SAME subset the
+    first attempt did.
     """
-    from eggopress import encode
+    from eggopress import decode, encode
+    from eggopress.encode import _lineage_run_ids
     from eggopress.pipeline import textstats
+    from eggopress.tablefmt import Table
 
     reader = spark.readStream.schema(DOCS_STREAM_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    docs = _normalize(reader.json(input_dir), default_source)
+    docs = _normalize(reader.json(input_dir), default_source, drop_dups=False)
     corpus = textstats.tokenize(docs, make_ids=False)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        encode.encode_append(
-            batch_df.sparkSession, batch_df, table_path,
-            run_id=f"stream-{batch_id:08d}",
-        )
+        s = batch_df.sparkSession
+        run_id = f"stream-{batch_id:08d}"
+        df = batch_df.dropDuplicates(["doc_id"])
+        if dedup_across_batches:
+            tbl = Table(table_path)
+            replayed = run_id in set(_lineage_run_ids(s, tbl))
+            if tbl.snapshot() is not None and not replayed:
+                seen = decode.seen_doc_ids(s, table_path, exclude_run=run_id)
+                df = df.join(seen, "doc_id", "left_anti")
+        encode.encode_append(s, df, table_path, run_id=run_id)
 
     writer = (
         corpus.writeStream.foreachBatch(sink)

@@ -50,6 +50,29 @@ def test_projected_decode_never_reads_token_blobs(spark, table):
         assert needed in read_schema
 
 
+def test_stats_rollup_is_metadata_only(spark, table):
+    """stats_rollup answers per-source totals from chunk stats columns;
+    its scan must read zero blob bytes, and the totals must equal a full
+    decode's."""
+    from eggopress import decode
+
+    df = decode.stats_rollup(spark, table)
+    read_schema = [l for l in _formatted(df).splitlines() if "ReadSchema" in l][0]
+    assert "blob" not in read_schema
+    got = {r["source"]: (r["n_docs"], r["n_tok_sum"]) for r in df.collect()}
+    full = {
+        r["source"]: (r["n_docs"], r["n_tok_sum"])
+        for r in decode.decode_table(spark, table, columns=["n_tok", "source"])
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_tok").cast("long")).alias("n_tok_sum"),
+        )
+        .collect()
+    }
+    assert got == full
+
+
 def test_stats_scan_never_reads_blobs(spark, table):
     from eggopress.tablefmt import Table
 

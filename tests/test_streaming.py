@@ -349,3 +349,55 @@ def test_stream_stats_windowed_watermark(spark, tmp_path):
     # 3 files at minutes 0,1,2 x one source each (src0/src1 alternating)
     got = {(r["window_start"].minute, r["source"]): r["n_docs"] for r in rows}
     assert got == {(0, "src0"): 40, (1, "src1"): 40, (2, "src0"): 40}
+
+
+def test_stream_dedup_across_batches(spark, tmp_path):
+    """Identical docs arriving in DIFFERENT micro-batches must land once
+    with dedup_across_batches=True (content-addressed ids + anti-join
+    against the table's decoded doc_id stream), and the whole-batch
+    replay skip must stay intact on restart."""
+    d = tmp_path / "landing"
+    d.mkdir()
+    # file f carries rows f*20 .. f*20+29: consecutive files overlap by 10
+    for f in range(3):
+        rows = [
+            json.dumps({
+                "doc_id": None,
+                "text": f"shared doc {i} payload {i % 5}",
+                "source": "src0",
+                "ts": f"2026-01-01T00:{f:02d}:{i % 60:02d}",
+            })
+            for i in range(f * 20, f * 20 + 30)
+        ]
+        (d / f"batch{f}.jsonl").write_text("\n".join(rows))
+    table = str(tmp_path / "dedup_tbl")
+    q = streaming.stream_ingest(
+        spark, str(d), table,
+        checkpoint=str(tmp_path / "ckpt_dd"),
+        max_files_per_trigger=1,
+        dedup_across_batches=True,
+    )
+    q.awaitTermination()
+
+    decoded = decode.decode_table(spark, table, columns=["doc_id"])
+    assert decoded.count() == 70  # 90 arrivals, 70 distinct
+    assert decoded.distinct().count() == 70
+
+    # restart with no new files: nothing re-lands
+    q2 = streaming.stream_ingest(
+        spark, str(d), table,
+        checkpoint=str(tmp_path / "ckpt_dd"),
+        dedup_across_batches=True,
+    )
+    q2.awaitTermination()
+    assert decode.decode_table(spark, table, columns=["doc_id"]).count() == 70
+
+    # contrast: without the flag the cross-batch copies DO land twice
+    table2 = str(tmp_path / "dup_tbl")
+    q3 = streaming.stream_ingest(
+        spark, str(d), table2,
+        checkpoint=str(tmp_path / "ckpt_nd"),
+        max_files_per_trigger=1,
+    )
+    q3.awaitTermination()
+    assert decode.decode_table(spark, table2, columns=["doc_id"]).count() == 90
