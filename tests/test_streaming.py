@@ -401,3 +401,27 @@ def test_stream_dedup_across_batches(spark, tmp_path):
     )
     q3.awaitTermination()
     assert decode.decode_table(spark, table2, columns=["doc_id"]).count() == 90
+
+
+def test_seen_doc_ids_excludes_named_run(spark, tmp_path):
+    """The dedup seen-set must be able to blind itself to one run's
+    files — the crashed-replay determinism lever."""
+    table = str(tmp_path / "seen_tbl")
+    a = streaming._normalize(
+        spark.createDataFrame(
+            [(None, f"alpha {i}", "src0", None) for i in range(10)],
+            streaming.DOCS_STREAM_SCHEMA,
+        ), None)
+    b = streaming._normalize(
+        spark.createDataFrame(
+            [(None, f"beta {i}", "src0", None) for i in range(10)],
+            streaming.DOCS_STREAM_SCHEMA,
+        ), None)
+    encode.encode_append(spark, textstats.tokenize(a, make_ids=False), table, run_id="runA")
+    encode.encode_append(spark, textstats.tokenize(b, make_ids=False), table, run_id="runB")
+
+    assert decode.seen_doc_ids(spark, table).count() == 20
+    only_b = decode.seen_doc_ids(spark, table, exclude_run="runA")
+    assert only_b.count() == 10
+    a_ids = {r["doc_id"] for r in textstats.tokenize(a, make_ids=False).select("doc_id").collect()}
+    assert not a_ids & {r["doc_id"] for r in only_b.collect()}
