@@ -79,27 +79,33 @@ def shed_big_buckets(banded: DataFrame, max_bucket_rows: int | None,
     route such groups through exact_dedup first, which collapses them for
     one shuffle instead of m^2 candidate pairs.
 
-    The over-cap bucket keys are collected to the driver: their count is
-    bounded by n_rows / max_bucket_rows, and the filter back-broadcasts as
-    a NOT IN, so no extra shuffle is added to the main plan.
+    Only the shed SUMMARY (two numbers) comes to the driver; the over-cap
+    keys themselves stay distributed and filter back through a broadcast
+    left-anti join — their count is bounded by n_rows / max_bucket_rows,
+    but at web scale that bound can still be millions of keys, which a
+    collected NOT-IN literal list would choke on while a broadcast join
+    shrugs at. (Spark auto-falls-back to a shuffled anti join past the
+    broadcast threshold, so the guard never becomes the scaling problem
+    it guards against.)
     """
     if max_bucket_rows is None:
         return banded
-    big = (
+    big = _materialize_scratch(
         banded.groupBy(bucket_col)
         .agg(F.count("*").alias("_n"))
         .filter(F.col("_n") > max_bucket_rows)
-        .collect()
     )
-    if not big:
+    n_big, shed_rows = (big.agg(
+        F.count("*"), F.coalesce(F.sum("_n"), F.lit(0))).first() or (0, 0))
+    if not n_big:
         return banded
-    keys = [r[bucket_col] for r in big]
-    shed_rows = sum(r["_n"] for r in big)
     log.warning(
         "%s: shedding %d over-cap buckets (>%d rows, %d rows total) from "
-        "candidate generation", what, len(keys), max_bucket_rows, shed_rows,
+        "candidate generation", what, n_big, max_bucket_rows, shed_rows,
     )
-    return banded.filter(~F.col(bucket_col).isin(keys))
+    return banded.join(
+        F.broadcast(big.select(bucket_col)), bucket_col, "left_anti"
+    )
 
 
 def _materialize_scratch(df: DataFrame) -> DataFrame:
