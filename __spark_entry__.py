@@ -256,6 +256,11 @@ def _q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, landing, table,
             checkpoint=os.path.join(root, "ckpt"),
             max_files_per_trigger=1,
+            # exercises the cross-batch anti-join in the gate; the parity
+            # fixture has no cross-batch copies, so the rollup is
+            # unchanged — dedup here must be a no-op, which is itself
+            # part of what the oracle checks
+            dedup_across_batches=True,
         )
         q.awaitTermination()
     return decode.decode_table(spark, table).groupBy("source").agg(
