@@ -63,6 +63,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     tst.add_argument("--name", default=None, help="catalog name to register (optional)")
     tst.add_argument("--editions", default=None, help="comma-separated edition list")
     tst.add_argument("--partitions", type=int, default=None)
+    tst.add_argument("--dedup", choices=["simhash", "minhash"], default=None,
+                     help="near-duplicate curation pass before encode "
+                          "(LSH pairs -> connected components -> one "
+                          "representative per cluster)")
 
     reg = sub.add_parser("register", help="register a table in the Spark catalog")
     reg.add_argument("--table", required=True)
@@ -164,6 +168,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 manifest=args.manifest, register_name=args.name,
                 editions=tuple(args.editions.split(",")) if args.editions else (),
                 n_partitions=args.partitions,
+                dedup=args.dedup,
             )
             print(json.dumps(result, default=str))
         elif args.cmd == "register":

@@ -40,10 +40,19 @@ def toast(
     editions: tuple[str, ...] = (),
     n_partitions: int | None = None,
     fail_after: str | None = None,
+    dedup: str | None = None,
 ) -> dict:
     """Run (or resume) the full pipeline. Exactly one of input_path /
     manifest selects the corpus. fail_after injects a crash after the named
-    stage commits (resume tests)."""
+    stage commits (resume tests).
+
+    dedup='simhash' | 'minhash' inserts a near-duplicate curation pass
+    between ingest and encode: candidate pairs (banded LSH) ->
+    resolve_clusters (connected components) -> keep one representative
+    per cluster (the min doc_id). Exact copies already collapse via
+    content-addressed ids; this removes the NEAR copies. The same
+    curated frame feeds the verify stage, and the pass is deterministic,
+    so a resumed toast re-derives the identical survivor set."""
     from eggopress import catalog, decode, ingest, verify
     from eggopress import editions as editionslib
     from eggopress.pipeline import textstats
@@ -58,8 +67,25 @@ def toast(
 
     def docs_df():
         if manifest:
-            return ingest.load_manifest_documents(spark, manifest)
-        return ingest.load_documents(spark, input_path, fmt, source)
+            docs = ingest.load_manifest_documents(spark, manifest)
+        else:
+            docs = ingest.load_documents(spark, input_path, fmt, source)
+        if dedup:
+            from eggopress.pipeline import dedup as dedupl
+
+            if dedup == "simhash":
+                pairs = dedupl.simhash_pairs(docs, 3)
+            elif dedup == "minhash":
+                pairs = dedupl.minhash_lsh_pairs(docs)
+            else:
+                raise ValueError(f"unknown dedup method: {dedup!r}")
+            non_rep = (
+                dedupl.resolve_clusters(pairs)
+                .filter(F.col("doc_id") != F.col("cluster_id"))
+                .select("doc_id")
+            )
+            docs = docs.join(non_rep, "doc_id", "left_anti")
+        return docs
 
     def commit(stage: str, **info) -> None:
         lineagelib.append(spark, tbl, [

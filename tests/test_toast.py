@@ -129,3 +129,41 @@ def test_toast_cli(spark, tmp_path, capsys):
     assert rc == 0
     result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert result["stages"]["verify"]["roundtrip_ok"] is True
+
+
+def test_toast_near_dedup_keeps_one_representative(spark, tmp_path):
+    """--dedup simhash: identical texts under DIFFERENT sources (distinct
+    content-addressed ids, so exact dedup keeps both) collapse to one
+    representative via pairs -> connected components; verify still
+    passes because the curated frame feeds both encode and verify."""
+    distinct = [f"unique document number {i} with its own words {i * 7}"
+                for i in range(30)]
+    shared = "common boilerplate page header terms conditions apply here"
+    a = tmp_path / "web.jsonl"
+    a.write_text("\n".join(
+        json.dumps({"text": t, "source": "web"}) for t in distinct[:15] + [shared]))
+    b = tmp_path / "books.jsonl"
+    b.write_text("\n".join(
+        json.dumps({"text": t, "source": "books"}) for t in distinct[15:] + [shared]))
+    manifest = tmp_path / "pkg.json"
+    manifest.write_text(json.dumps({
+        "name": "neardup-corpus",
+        "resources": [
+            {"name": "web", "path": "web.jsonl", "format": "jsonl"},
+            {"name": "books", "path": "books.jsonl", "format": "jsonl"},
+        ],
+    }))
+
+    table = str(tmp_path / "dd_tbl")
+    result = toastlib.toast(
+        spark, table, manifest=str(manifest), dedup="simhash",
+    )
+    assert result["stages"]["verify"]["status"] == "done"
+    decoded = decode.decode_table(spark, table, columns=["doc_id"])
+    # 32 ingested docs (2 sources x 16), the shared text collapses 2 -> 1
+    assert decoded.count() == 31
+
+    # without dedup both copies land
+    table2 = str(tmp_path / "nd_tbl")
+    toastlib.toast(spark, table2, manifest=str(manifest))
+    assert decode.decode_table(spark, table2, columns=["doc_id"]).count() == 32
