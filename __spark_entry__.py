@@ -377,6 +377,18 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.ivf_topk(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), 10)
 
 
+def _q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine k-NN join for a 5-query probe batch (two-phase
+    local-top-k prefilter; bit-identical to the pure-window plan)."""
+    from eggopress.pipeline import simsearch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return simsearch.knn_join(emb, queries, 10)
+
+
 def _q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eggopress.pipeline import textstats
 
@@ -503,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": _q_ann_brute,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_knn_join": _q_ann_knn_join,
         "text_token_counts": _q_text_token_counts,
         "text_lang_id": _q_text_lang_id,
         "text_quality": _q_text_quality,
@@ -607,6 +620,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cos DESC, vec_id ASC LIMIT 10
         """,
         "ann_ivf_topk": simsearch.ivf_topk_oracle(0, 10),
+        "ann_knn_join": simsearch.knn_join_oracle(10, 5),
         "text_token_counts": textstats.TOKEN_COUNTS_ORACLE,
         "text_lang_id": textstats.LANG_ID_ORACLE,
         "text_quality": textstats.QUALITY_ORACLE,

@@ -121,6 +121,7 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
             "dedup_ngram_jaccard",
             "ann_brute_topk",
             "ann_ivf_topk",
+            "ann_knn_join",
             "multimodal_resize",
             "text_token_counts",
             "text_token_histogram",

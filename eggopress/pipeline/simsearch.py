@@ -338,3 +338,61 @@ SELECT id_a, id_b, {cos} AS cos
 FROM cand JOIN embeddings x ON x.vec_id = id_a JOIN embeddings y ON y.vec_id = id_b
 WHERE {cos} >= {threshold}
 """
+
+
+# ------------------------------------------------------------ knn join
+
+def knn_join(df: DataFrame, queries: DataFrame, k: int = 10,
+             prefilter: bool = True) -> DataFrame:
+    """Exact cosine k-NN JOIN: the top-k corpus vectors for EVERY row of
+    `queries` (q_id, embedding) — the batch-of-probes shape a retrieval
+    or eval pipeline actually runs, vs the single-literal-vector
+    brute_topk. Output (q_id, vec_id, cos, rank), rank 1..k per q_id by
+    (cos desc, vec_id asc).
+
+    Scale shape: the query batch broadcasts (no corpus shuffle to score
+    — scoring is a narrow pass over the embedding partitions), and with
+    prefilter=True a mapInPandas stage keeps only each batch's local
+    top-k per query BEFORE the single rank shuffle, so the shuffle
+    carries O(batches * Q * k) skinny rows instead of N * Q. The
+    prefilter selects by the FINAL (q_id, cos desc, vec_id) ordering on
+    the already-computed scores, so it can never drop a true global
+    top-k member — the result is bit-identical to the pure-window plan
+    (prefilter=False, the oracle-shaped variant kept as a cross-check).
+    For huge query batches, bucket both sides with the hyperplane bands
+    cosine_neardup uses and knn-join per bucket.
+    """
+    from pyspark.sql.window import Window
+
+    q = queries.select("q_id", F.col("embedding").alias("q_emb"))
+    scored = df.crossJoin(F.broadcast(q)).select(
+        "q_id", "vec_id",
+        F.expr(_cos_spark(EMB_D_SPARK, "cast(q_emb as array<double>)")).alias("cos"),
+    )
+    if prefilter:
+        def _local_topk(batches):
+            for pdf in batches:
+                yield (
+                    pdf.sort_values(["q_id", "cos", "vec_id"],
+                                    ascending=[True, False, True])
+                    .groupby("q_id", sort=False).head(k)
+                )
+
+        scored = scored.mapInPandas(_local_topk, "q_id long, vec_id long, cos double")
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_join_oracle(k: int = 10, max_q_id: int = 5) -> str:
+    cos = _cos_duck("e.embedding::DOUBLE[]", "q.q_emb::DOUBLE[]")
+    return f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {max_q_id}),
+scored AS (SELECT q.q_id, e.vec_id, {cos} AS cos FROM embeddings e CROSS JOIN q)
+SELECT q_id, vec_id, cos, rank FROM (
+  SELECT *, cast(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) as int) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""

@@ -306,3 +306,19 @@ def test_token_histogram_matches_explode(spark, docs):
     )
     assert fast.exceptAll(naive).count() == 0
     assert naive.exceptAll(fast).count() == 0
+
+
+def test_knn_join_prefilter_matches_window_plan(spark, embs):
+    """The two-phase local-top-k prefilter must be bit-identical to the
+    pure-window plan — it selects by the final ordering on the final
+    scores, so no true top-k member can be dropped."""
+    from eggopress.pipeline import simsearch
+
+    queries = embs.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    fast = simsearch.knn_join(embs, queries, 7, prefilter=True)
+    ref = simsearch.knn_join(embs, queries, 7, prefilter=False)
+    assert fast.count() == 4 * 7
+    assert fast.exceptAll(ref).count() == 0
+    assert ref.exceptAll(fast).count() == 0
