@@ -338,6 +338,17 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.resolve_clusters(dedup.simhash_pairs(_t(spark, sf_dir, "documents"), 3))
 
 
+def _q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split rollup: same doc -> same split, always."""
+    from eggopress.pipeline import textstats
+
+    corpus = textstats.tokenize(_t(spark, sf_dir, "documents"))
+    return textstats.train_split(corpus).groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_tok").cast("long")).alias("n_tok_sum"),
+    )
+
+
 def _q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary histogram via per-partition bincount partial aggregation."""
     from eggopress.pipeline import textstats
@@ -521,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_fingerprint": _q_text_fingerprint,
         "text_token_histogram": _q_token_histogram,
+        "text_train_split": _q_train_split,
         "multimodal_features": _q_multimodal,
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frame_sample": _q_multimodal_frames,
@@ -626,6 +638,15 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": textstats.QUALITY_ORACLE,
         "text_fingerprint": textstats.FINGERPRINT_ORACLE,
         "text_token_histogram": textstats.TOKEN_HISTOGRAM_ORACLE,
+        "text_train_split": f"""
+            SELECT {textstats.train_split_case_duck()} AS split,
+                   count(*) AS n_docs,
+                   cast(sum(len({textstats.WORDS_DUCK})) as bigint) AS n_tok_sum
+            FROM (SELECT concat(source, '-', lpad(cast(doc_id as varchar), 10, '0')) AS doc_id,
+                         text
+                  FROM documents)
+            GROUP BY 1
+        """,
         "multimodal_features": multimodal.FEATURES_ORACLE,
         "multimodal_resize": multimodal.resize_oracle(8, 6),
         "multimodal_frame_sample": multimodal.sample_frames_oracle(2),

@@ -229,3 +229,34 @@ SELECT token, count(*) AS n
 FROM (SELECT unnest({TOKENS_DUCK}) AS token FROM documents)
 GROUP BY token
 """
+
+
+def train_split(corpus: DataFrame,
+                fractions: tuple[tuple[str, float], ...] = (
+                    ("train", 0.9), ("val", 0.05), ("test", 0.05)),
+                buckets: int = 10_000) -> DataFrame:
+    """Deterministic train/val/test assignment: split = the cumulative
+    fraction range that h32(doc_id) % buckets falls in. Content-stable —
+    the same doc lands in the same split on any run, any cluster shape,
+    any row order (no sample() nondeterminism), and adding data never
+    moves existing docs between splits. Pure projection: no shuffle, no
+    UDF; the hash is the md5-prefix trick shared with the DuckDB
+    oracles."""
+    if abs(sum(f for _, f in fractions) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1: {fractions}")
+    expr, lo = "CASE", 0
+    for name, frac in fractions[:-1]:
+        lo += int(round(frac * buckets))
+        expr += f" WHEN {h32_spark('doc_id')} % {buckets} < {lo} THEN '{name}'"
+    expr += f" ELSE '{fractions[-1][0]}' END"
+    return corpus.withColumn("split", F.expr(expr))
+
+
+def train_split_case_duck(fractions: tuple[tuple[str, float], ...] = (
+        ("train", 0.9), ("val", 0.05), ("test", 0.05)),
+        buckets: int = 10_000) -> str:
+    expr, lo = "CASE", 0
+    for name, frac in fractions[:-1]:
+        lo += int(round(frac * buckets))
+        expr += f" WHEN {h32_duck('doc_id')} % {buckets} < {lo} THEN '{name}'"
+    return expr + f" ELSE '{fractions[-1][0]}' END"

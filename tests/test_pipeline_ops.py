@@ -322,3 +322,23 @@ def test_knn_join_prefilter_matches_window_plan(spark, embs):
     assert fast.count() == 4 * 7
     assert fast.exceptAll(ref).count() == 0
     assert ref.exceptAll(fast).count() == 0
+
+
+def test_train_split_deterministic_and_complete(spark, docs):
+    from eggopress.pipeline import textstats
+
+    corpus = textstats.tokenize(docs)
+    s1 = textstats.train_split(corpus)
+    # partition of the corpus: every doc in exactly one split
+    assert s1.count() == corpus.count()
+    frac = {r["split"]: r["n"] for r in
+            s1.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(frac) == {"train", "val", "test"}
+    assert frac["train"] > frac["val"] and frac["train"] > frac["test"]
+    # content-stable: re-derivation and row-order changes don't move docs
+    s2 = textstats.train_split(corpus.orderBy(F.desc("doc_id")))
+    j = s1.select("doc_id", "split").join(
+        s2.select("doc_id", F.col("split").alias("s2")), "doc_id")
+    assert j.filter(F.col("split") != F.col("s2")).count() == 0
+    with pytest.raises(ValueError):
+        textstats.train_split(corpus, fractions=(("a", 0.5), ("b", 0.4)))
