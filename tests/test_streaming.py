@@ -230,6 +230,15 @@ def test_decode_changes_reads_only_new_batches(spark, tmp_path):
     assert decode.decode_changes(spark, table, since_version=v2, version=v3).count() == 40
     assert decode.decode_changes(spark, table, since_version=v3).count() == 0
 
+    # projected incremental read: schema honors columns=, including on
+    # the empty no-change frame
+    proj = decode.decode_changes(spark, table, since_version=v1,
+                                 columns=["doc_id", "n_tok"])
+    assert proj.columns == ["doc_id", "n_tok"] and proj.count() == 80
+    empty = decode.decode_changes(spark, table, since_version=v3,
+                                  columns=["doc_id"])
+    assert empty.columns == ["doc_id"] and empty.count() == 0
+
     # a new batch after a ROLLBACK of the last one: changes-since must
     # work even though the since-side listing names retired files
     from eggopress import maintenance
