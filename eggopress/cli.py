@@ -115,6 +115,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                           "source): only these columns' blob streams are "
                           "read and decoded")
 
+    chg = sub.add_parser("changes", help="decode only the rows ADDED after "
+                                         "snapshot N (incremental feed for "
+                                         "tailing an append table)")
+    chg.add_argument("--table", required=True)
+    chg.add_argument("--since-version", type=int, required=True)
+    chg.add_argument("--version", type=int, default=None,
+                     help="upper snapshot (default: current)")
+    chg.add_argument("--columns", default=None,
+                     help="comma-separated projection (doc_id,tokens,n_tok,source)")
+    chg.add_argument("--output", required=True)
+
     ver = sub.add_parser("verify", help="round-trip + ratio verification")
     ver.add_argument("--input", required=True)
     ver.add_argument("--table", required=True)
@@ -223,6 +234,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 version=args.version, columns=cols,
             ).write.mode("overwrite").parquet(args.output)
             print(json.dumps({"output": args.output}))
+        elif args.cmd == "changes":
+            from eggopress import decode
+
+            cols = args.columns.split(",") if args.columns else None
+            df = decode.decode_changes(
+                spark, args.table, since_version=args.since_version,
+                version=args.version, columns=cols,
+            )
+            df.write.mode("overwrite").parquet(args.output)
+            print(json.dumps({"output": args.output,
+                              "since_version": args.since_version}))
         elif args.cmd == "verify":
             from eggopress import decode, verify
 

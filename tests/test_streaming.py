@@ -235,6 +235,15 @@ def test_decode_changes_reads_only_new_batches(spark, tmp_path):
     proj = decode.decode_changes(spark, table, since_version=v1,
                                  columns=["doc_id", "n_tok"])
     assert proj.columns == ["doc_id", "n_tok"] and proj.count() == 80
+
+    # CLI surface: changes --since-version writes the incremental slice
+    from eggopress import cli
+
+    out = str(tmp_path / "chg_out")
+    rc = cli.main(["changes", "--table", table, "--since-version", str(v1),
+                   "--columns", "doc_id,n_tok", "--output", out], spark=spark)
+    assert rc == 0
+    assert spark.read.parquet(out).count() == 80
     empty = decode.decode_changes(spark, table, since_version=v3,
                                   columns=["doc_id"])
     assert empty.columns == ["doc_id"] and empty.count() == 0
