@@ -167,3 +167,34 @@ def test_toast_near_dedup_keeps_one_representative(spark, tmp_path):
     table2 = str(tmp_path / "nd_tbl")
     toastlib.toast(spark, table2, manifest=str(manifest))
     assert decode.decode_table(spark, table2, columns=["doc_id"]).count() == 32
+
+
+def test_toast_resume_with_dedup_rederives_same_survivors(spark, tmp_path):
+    """Kill after encode with --dedup active: the resumed run re-derives
+    the curated frame for verify, which must match what was encoded —
+    dedup determinism is what makes the pipeline resumable at all."""
+    distinct = [f"resume doc {i} body text {i * 3}" for i in range(20)]
+    shared = "identical footer text appearing under both sources"
+    a = tmp_path / "w.jsonl"
+    a.write_text("\n".join(
+        json.dumps({"text": t, "source": "web"}) for t in distinct[:10] + [shared]))
+    b = tmp_path / "b.jsonl"
+    b.write_text("\n".join(
+        json.dumps({"text": t, "source": "books"}) for t in distinct[10:] + [shared]))
+    manifest = tmp_path / "pkg2.json"
+    manifest.write_text(json.dumps({
+        "name": "resume-neardup",
+        "resources": [
+            {"name": "web", "path": "w.jsonl", "format": "jsonl"},
+            {"name": "books", "path": "b.jsonl", "format": "jsonl"},
+        ],
+    }))
+    table = str(tmp_path / "toast_dd_resume")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        toastlib.toast(spark, table, manifest=str(manifest),
+                       dedup="simhash", fail_after="encode")
+
+    result = toastlib.toast(spark, table, manifest=str(manifest), dedup="simhash")
+    assert result["stages"]["encode"]["status"] == "skipped"
+    assert result["stages"]["verify"]["status"] == "done"
+    assert decode.decode_table(spark, table, columns=["doc_id"]).count() == 21
