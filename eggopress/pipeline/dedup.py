@@ -80,13 +80,15 @@ def shed_big_buckets(banded: DataFrame, max_bucket_rows: int | None,
     one shuffle instead of m^2 candidate pairs.
 
     Only the shed SUMMARY (two numbers) comes to the driver; the over-cap
-    keys themselves stay distributed and filter back through a broadcast
-    left-anti join — their count is bounded by n_rows / max_bucket_rows,
-    but at web scale that bound can still be millions of keys, which a
-    collected NOT-IN literal list would choke on while a broadcast join
-    shrugs at. (Spark auto-falls-back to a shuffled anti join past the
-    broadcast threshold, so the guard never becomes the scaling problem
-    it guards against.)
+    keys themselves stay distributed and filter back through a left-anti
+    join — their count is bounded by n_rows / max_bucket_rows, but at web
+    scale that bound can still be millions of keys, which a collected
+    NOT-IN literal list would choke on. The join carries NO broadcast
+    hint on purpose: the over-cap key set is a scratch-parquet read with
+    known file sizes, so the planner (plus AQE) broadcasts it while it
+    fits and falls back to a shuffled anti join past the threshold — an
+    explicit F.broadcast() would instead FORCE a broadcast up to the hard
+    8 GB driver limit and error there rather than degrade.
     """
     if max_bucket_rows is None:
         return banded
@@ -103,9 +105,34 @@ def shed_big_buckets(banded: DataFrame, max_bucket_rows: int | None,
         "%s: shedding %d over-cap buckets (>%d rows, %d rows total) from "
         "candidate generation", what, n_big, max_bucket_rows, shed_rows,
     )
-    return banded.join(
-        F.broadcast(big.select(bucket_col)), bucket_col, "left_anti"
-    )
+    return banded.join(big.select(bucket_col), bucket_col, "left_anti")
+
+
+def scratch_root(spark) -> str:
+    """Shared-filesystem scratch root for intermediate materializations.
+
+    Resolution order:
+      1. EGGOPRESS_SCRATCH_DIR — explicit override; point it at tmpfs
+         (/dev/shm) in local mode for speed, at NVMe-backed shared scratch
+         on a cluster with one.
+      2. <spark.sql.warehouse.dir>/_eggopress_scratch — the default. The
+         warehouse dir is the one location every Spark deployment already
+         agrees is on the SHARED filesystem (managed tables live there),
+         so executors writing scratch partitions and the follow-up
+         spark.read on other executors all see the same files. A per-host
+         local default (tmpfs/tempfile) would silently lose partitions the
+         moment the job runs on more than one machine — which is why the
+         fast-local medium is opt-in, never the default.
+    """
+    base = os.environ.get("EGGOPRESS_SCRATCH_DIR")
+    if base:
+        return base
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if wh.startswith("file:"):
+        wh = wh[len("file:"):]
+        while wh.startswith("//"):  # file:///x and file://x -> /x
+            wh = wh[1:]
+    return os.path.join(wh, "_eggopress_scratch")
 
 
 def _materialize_scratch(df: DataFrame) -> DataFrame:
@@ -113,19 +140,21 @@ def _materialize_scratch(df: DataFrame) -> DataFrame:
     it. Used where a plan feeds multiple DAG branches: unlike .persist(),
     nothing is left registered in executor storage memory after the
     consuming action (repeated pipeline calls in a long-lived session must
-    not accumulate cached DataFrames). The scratch dir lives on the fastest
-    local medium and is removed at process exit."""
+    not accumulate cached DataFrames). The scratch dir lives under
+    scratch_root() — shared-filesystem by default, see above — and local
+    dirs are removed at process exit."""
     import atexit
     import shutil
-    import tempfile
+    import uuid
 
-    base = os.environ.get("EGGOPRESS_LOCAL_DIR", "/dev/shm")
-    if not os.path.isdir(base):
-        base = None  # tempfile default
-    d = tempfile.mkdtemp(prefix="eggopress-scratch-", dir=base)
-    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    spark = df.sparkSession
+    base = scratch_root(spark)
+    # plain join, not os.path.join: base may be a URI (hdfs://, s3a://)
+    d = f"{base.rstrip('/')}/mat-{uuid.uuid4().hex[:12]}"
+    if "://" not in d:
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
     df.write.mode("overwrite").parquet(d)
-    return df.sparkSession.read.parquet(d)
+    return spark.read.parquet(d)
 
 
 # ------------------------------------------------------------- exact

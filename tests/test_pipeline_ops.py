@@ -342,3 +342,47 @@ def test_train_split_deterministic_and_complete(spark, docs):
     assert j.filter(F.col("split") != F.col("s2")).count() == 0
     with pytest.raises(ValueError):
         textstats.train_split(corpus, fractions=(("a", 0.5), ("b", 0.4)))
+
+
+def test_scratch_root_defaults_to_shared_warehouse(spark, monkeypatch):
+    """Cluster-safety contract: with no explicit override, intermediate
+    materializations land under the Spark WAREHOUSE dir — the one path
+    every deployment already has on the shared filesystem — never under a
+    per-host local medium (executors writing to their own /dev/shm and a
+    follow-up read on other executors would lose partitions)."""
+    from eggopress.pipeline import dedup
+
+    monkeypatch.delenv("EGGOPRESS_SCRATCH_DIR", raising=False)
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    local_wh = wh[len("file:"):] if wh.startswith("file:") else wh
+    while local_wh.startswith("//"):
+        local_wh = local_wh[1:]
+    root = dedup.scratch_root(spark)
+    assert root == f"{local_wh}/_eggopress_scratch".replace("//_", "/_")
+    out = dedup._materialize_scratch(spark.range(5).selectExpr("id", "id * 2 as v"))
+    assert out.count() == 5
+    assert all("_eggopress_scratch" in f for f in out.inputFiles())
+    assert "/dev/shm" not in root
+
+
+def test_scratch_override_runs_dedup_paths_on_plain_dir(spark, docs, tmp_path, monkeypatch):
+    """All three scratch-dependent operators (prefix-Jaccard result
+    materialization, shed_big_buckets, resolve_clusters) must work with
+    scratch pointed at an arbitrary non-tmpfs shared dir."""
+    from eggopress.pipeline import dedup
+
+    shared = str(tmp_path / "shared_scratch")
+    monkeypatch.setenv("EGGOPRESS_SCRATCH_DIR", shared)
+    pairs = dedup.ngram_jaccard_pairs(docs, 0.6, "prefix")
+    assert pairs.count() > 0
+    assert all(shared in f for f in pairs.inputFiles())
+
+    banded = spark.range(200).selectExpr(
+        "cast(id as string) as doc_id",
+        "case when id < 150 then 'hot' else concat('b', id) end as bucket")
+    shed = dedup.shed_big_buckets(banded, 50, "test")
+    assert shed.filter(F.col("bucket") == "hot").count() == 0
+    assert shed.count() == 50
+
+    clusters = dedup.resolve_clusters(dedup.simhash_pairs(docs, 3))
+    assert clusters.count() > 0
