@@ -46,13 +46,15 @@ ALL_COLUMNS = tuple(f.name for f in CORPUS_SCHEMA)
 
 
 def _resolve_columns(columns: list[str] | None) -> tuple[tuple[str, ...], list[str]]:
-    """-> (decode set in corpus-schema order, needed blob column names)."""
+    """-> (decode set in corpus-schema order, needed blob column names).
+    Decoding runs in schema order; callers that promise a caller-ordered
+    result re-select at the end (decode_table does)."""
     if columns is None:
         want = ALL_COLUMNS
     else:
         bad = [c for c in columns if c not in ALL_COLUMNS]
-        if bad or not columns:
-            raise ValueError(f"columns must be a non-empty subset of {ALL_COLUMNS}, got {columns}")
+        if bad or not columns or len(set(columns)) != len(columns):
+            raise ValueError(f"columns must be a non-empty duplicate-free subset of {ALL_COLUMNS}, got {columns}")
         want = tuple(c for c in ALL_COLUMNS if c in columns)
     blob_names: list[str] = []
     for c in want:
@@ -105,26 +107,43 @@ def decode_changes(spark: SparkSession, table_path: str,
     new = [p for p in tbl.files_at_version(to_version) if p not in old]
     if not new:
         want, _ = _resolve_columns(columns)
-        return spark.createDataFrame(
+        out = spark.createDataFrame(
             [], T.StructType([f for f in CORPUS_SCHEMA if f.name in want])
         )
-    enc = spark.read.option("basePath", tbl.data_dir).parquet(*new)
-    return _decode_df(enc, columns)
+    else:
+        enc = spark.read.option("basePath", tbl.data_dir).parquet(*new)
+        out = _decode_df(enc, columns)
+    return out.select(*columns) if columns is not None else out
 
 
 def seen_doc_ids(spark: SparkSession, table_path: str,
                  exclude_run: str | None = None) -> DataFrame:
-    """doc_ids currently in the table, via blob-projected decode of the
-    doc_id stream only (the smallest column — a few % of table bytes).
-    exclude_run drops files named by that run: the streaming cross-batch
-    dedup filter must not see its OWN crashed replay's partial promote,
-    or the re-run would encode a different row subset than the first
-    attempt and the deterministic <run_id>-<i> overwrite would leave
-    orphan chunks. At 10^10+ docs, swap this scan for a digest sidecar
-    or bloom index — the join contract (a doc_id column) is unchanged."""
+    """doc_ids currently in the table, for the streaming cross-batch
+    dedup anti-join. exclude_run blinds the set to that run's own files:
+    the dedup filter must not see its OWN crashed replay's partial
+    promote, or the re-run would encode a different row subset than the
+    first attempt and the deterministic <run_id>-<i> overwrite would
+    leave orphan chunks.
+
+    Fast path: the per-run doc_id SIDECARS encode_append writes
+    (index/docids/append-<run>/). Reading them is a skinny-parquet scan
+    of just the id column — no chunk blob is touched — and the snapshot's
+    cumulative run list proves coverage (every committed append run has
+    a sidecar; the check is explicit so a table with exotic history
+    degrades to the decode path instead of silently under-reporting).
+    Fallback (batch-encoded tables / pre-sidecar history): blob-projected
+    decode of the doc_id stream — correct everywhere, but O(table) chunk
+    reads. Both paths honor the same join contract (a doc_id column)."""
     import os as _os
 
     tbl = Table(table_path)
+    runs = ((tbl.snapshot() or {}).get("runs")) or []
+    if runs:
+        dirs = [tbl.docid_sidecar_dir(r) for r in runs if r != exclude_run]
+        if all(_os.path.isdir(d) for d in dirs):
+            if not dirs:
+                return spark.createDataFrame([], "doc_id string")
+            return spark.read.parquet(*dirs).select("doc_id")
     files = [
         _os.path.join(tbl.data_dir, pid, f)
         for pid, names in tbl.partition_file_listing().items()
@@ -162,7 +181,10 @@ def decode_table(spark: SparkSession, table_path: str,
     the decoded output (chunk stats only bound, rows inside a surviving
     chunk may still miss the range). `version=N` time-travels to snapshot
     N's recorded file set. `columns=` projects at the BLOB level: only the
-    requested columns' encoded streams are read and decoded (P4 on data)."""
+    requested columns' encoded streams are read and decoded (P4 on data);
+    the result carries the columns in the CALLER'S order (positional
+    consumers of e.g. the CLI --columns output rely on it — the trailing
+    select is free, the data is already decoded)."""
     enc = read_encoded(spark, table_path, sources, n_tok_range, version)
     eff = columns
     if n_tok_range and columns is not None and "n_tok" not in columns:
@@ -174,6 +196,6 @@ def decode_table(spark: SparkSession, table_path: str,
             out = out.filter(out.n_tok >= lo)
         if hi is not None:
             out = out.filter(out.n_tok <= hi)
-    if eff is not columns and columns is not None:
-        out = out.select(*[f.name for f in CORPUS_SCHEMA if f.name in columns])
+    if columns is not None:
+        out = out.select(*columns)
     return out

@@ -66,16 +66,19 @@ def _salt_expr(salts: dict[str, int]):
 def _encode_fn(fail_partitions: frozenset[str],
                fail_until_attempt: dict[str, int] | None = None,
                attempts: dict[str, int] | None = None,
-               chunk_base: int = 0):
+               chunk_base: int = 0, task_shift: int = 32):
     """mapInArrow worker: split each sorted batch at (source,salt) group
     boundaries, encode each slice as one chunk.
 
     fail_partitions always fail (resume tests); fail_until_attempt[pid]=k
     fails while the current attempt number is <= k (auto-retry tests).
-    chunk_base namespaces chunk ids per append batch (bits 48-62 from a
-    run_id hash) so ids from different streaming batches landing in the
-    same partition never collide; batch encodes keep base 0 (their chunk
-    set is replaced wholesale, so (task_id << 32) | seq is already unique).
+    chunk_base/task_shift namespace chunk ids per append batch (see
+    _append_chunk_base) so ids from different streaming batches landing
+    in the same partition never collide; batch encodes keep base 0 /
+    shift 32 (their chunk set is replaced wholesale, so
+    (task_id << 32) | seq is already unique). Narrow shifts get explicit
+    overflow guards: a silent wrap would alias another task's ids and
+    corrupt the (partition_id, chunk_id, column) manifest key.
     """
     fail_until_attempt = fail_until_attempt or {}
     attempts = attempts or {}
@@ -110,13 +113,19 @@ def _encode_fn(fail_partitions: frozenset[str],
                     raise RuntimeError(f"injected failure for {pid}")
                 if attempts.get(pid, 0) + 1 <= fail_until_attempt.get(pid, 0):
                     raise RuntimeError(f"injected transient failure for {pid}")
+                if task_shift < 32 and (seq >= (1 << task_shift)
+                                        or task_id >= (1 << task_shift)):
+                    raise RuntimeError(
+                        f"chunk id field overflow (task={task_id}, seq={seq}, "
+                        f"shift={task_shift}); widen the append id layout"
+                    )
                 rows.append(
                     chunklib.encode_batch(
                         corpus_batch.slice(s, e - s),
                         pid,
                         source,
                         k,
-                        chunk_base | (task_id << 32) | seq,
+                        chunk_base | (task_id << task_shift) | seq,
                     )
                 )
                 seq += 1
@@ -343,6 +352,7 @@ def encode_table(
             "schema": "corpus_v1",
             "partitions": tbl.partition_dirs(),
             "files": tbl.partition_file_listing(),
+            "manifest_files": tbl.manifest_file_listing(),
             "totals": {
                 "chunks": int(total_chunks), "rows": int(total_rows),
                 "values": int(total_values), "raw_bytes": int(total_raw),
@@ -386,7 +396,7 @@ def encode_append(spark: SparkSession, df: DataFrame, table_path: str, *,
     """
     tbl = Table(table_path)
     t0 = time.time()
-    if any(r == run_id for r in _lineage_run_ids(spark, tbl)):
+    if _run_recorded(spark, tbl, run_id):
         return {"run_id": run_id, "partitions": 0, "skipped": 1, "rows": 0,
                 "values": 0, "encoded_bytes": 0, "raw_bytes": 0, "chunks": 0,
                 "wall_s": 0.0, "replayed": True}
@@ -410,13 +420,12 @@ def encode_append(spark: SparkSession, df: DataFrame, table_path: str, *,
         max(len(partition_ids(salts)), 1), "source", "salt"
     ).sortWithinPartitions("source", "salt", F.expr("tokens[0]"), "n_tok", "doc_id")
     staging = tbl.staging_dir(run_id)
-    # 15-bit run-id hash namespaces this batch's chunk ids (deterministic,
-    # so a redelivered batch reproduces the same ids)
-    import hashlib as _hashlib
-
-    chunk_base = (int(_hashlib.md5(run_id.encode()).hexdigest()[:4], 16) & 0x7FFF) << 48
+    chunk_base, task_shift = _append_chunk_base(run_id)
     (
-        arranged.mapInArrow(_encode_fn(frozenset(), chunk_base=chunk_base), CHUNK_SCHEMA)
+        arranged.mapInArrow(
+            _encode_fn(frozenset(), chunk_base=chunk_base, task_shift=task_shift),
+            CHUNK_SCHEMA,
+        )
         .write.partitionBy("source", "salt")
         .option("compression", "uncompressed")
         .mode("overwrite")
@@ -437,6 +446,16 @@ def encode_append(spark: SparkSession, df: DataFrame, table_path: str, *,
     # deterministic <run_id>-<i>.parquet names make the merge-promote
     # itself replay-safe (identical re-encode overwrites, never duplicates)
     tbl.promote_partitions(run_id, merge=True)
+
+    # doc_id sidecar: one skinny parquet dir per batch, written BEFORE the
+    # lineage wave so any batch the replay-skip can see also has its
+    # sidecar. The streaming cross-batch dedup anti-joins later batches
+    # against these O(batch) files instead of blob-decoding the whole
+    # table per micro-batch (O(table) work per batch = quadratic
+    # cumulative work over a stream's lifetime). mode=overwrite keeps a
+    # redelivered batch idempotent.
+    df.select("doc_id").write.mode("overwrite").parquet(
+        tbl.docid_sidecar_dir(run_id))
 
     now_ms = int((time.time() - t0) * 1000)
     lineagelib.append(spark, tbl, [
@@ -462,13 +481,19 @@ def encode_append(spark: SparkSession, df: DataFrame, table_path: str, *,
         .first()
     )
     enc_total = man.agg(F.sum("encoded_bytes")).first()[0]
+    prev_runs = list(((tbl.snapshot() or {}).get("runs")) or [])
     tbl.commit_snapshot({
         "stage": "encoded",
         "mode": "append",
         "run_id": run_id,
+        # cumulative append-run set: the O(1) replay fast path AND the
+        # coverage proof the sidecar-based seen_doc_ids needs (every run
+        # in this list has a doc_id sidecar dir)
+        "runs": sorted(set(prev_runs) | {run_id}),
         "schema": "corpus_v1",
         "partitions": tbl.partition_dirs(),
         "files": tbl.partition_file_listing(),
+        "manifest_files": tbl.manifest_file_listing(),
         "totals": {
             "chunks": int(tot["chunks"]), "rows": int(tot["rows"]),
             "values": int(tot["values"]), "raw_bytes": int(tot["raw"]),
@@ -504,13 +529,49 @@ def _write_manifest_file(tbl: Table, name: str, rows: list) -> None:
     _os.replace(tmp, final)
 
 
-def _lineage_run_ids(spark: SparkSession, tbl: Table) -> list[str]:
+def _append_chunk_base(run_id: str) -> tuple[int, int]:
+    """(chunk_base, task_shift) namespacing one append batch's chunk ids.
+
+    Streaming run_ids ('stream-<batch_id>') use the batch id itself —
+    monotonic and collision-free — as the namespace: bit 62 marks the
+    append layout, bits 30-61 carry the batch id, leaving 15-bit task and
+    seq fields (guarded in _encode_fn). The previous scheme packed a
+    15-bit md5(run_id) hash, which by the birthday bound collides between
+    two batches with ~50% probability after ~180 batches — and colliding
+    batches sharing a partition could then alias chunk_ids and silently
+    weaken the (partition_id, chunk_id, column) manifest key. Non-stream
+    run_ids (ad-hoc appends, bounded in count) keep the hash namespace.
+    """
+    import re as _re
+
+    m = _re.fullmatch(r"stream-(\d+)", run_id)
+    if m:
+        batch_no = int(m.group(1)) & 0xFFFFFFFF
+        return (1 << 62) | (batch_no << 30), 15
+    import hashlib as _hashlib
+
+    ns = int(_hashlib.md5(run_id.encode()).hexdigest()[:4], 16) & 0x3FFF
+    return ns << 48, 32
+
+
+def _run_recorded(spark: SparkSession, tbl: Table, run_id: str) -> bool:
+    """Has this append run already committed (the exactly-once replay
+    check)? Fast path: the snapshot's cumulative run set — O(1), no Spark
+    job, no growth with stream lifetime. Slow path (run absent from the
+    snapshot): the lineage table, filtered to this run_id — covers the
+    crash window where the lineage wave landed but the snapshot commit
+    didn't. The previous implementation collected ALL distinct lineage
+    run_ids every batch, an O(stream lifetime) scan per micro-batch."""
+    if run_id in ((tbl.snapshot() or {}).get("runs") or []):
+        return True
     import os as _os
 
     if not (_os.path.isdir(tbl.lineage_dir)
             and any(f.endswith(".parquet") for f in _os.listdir(tbl.lineage_dir))):
-        return []
-    return [r["run_id"] for r in
-            lineagelib.read(spark, tbl).select("run_id").distinct().collect()]
+        return False
+    return bool(
+        lineagelib.read(spark, tbl)
+        .filter(F.col("run_id") == run_id).limit(1).count()
+    )
 
 

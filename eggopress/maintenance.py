@@ -189,9 +189,6 @@ def rollback_table(spark: SparkSession, table_path: str, version: int, *,
             f"{target.get('stage')!r}, mode={target.get('mode')!r})"
         )
     visible = set(tbl.files_at_version(version))  # validates existence
-    visible_runs = {
-        os.path.basename(p).rsplit("-", 1)[0] for p in visible
-    }
     run_id = run_id or f"rollback-{_uuid.uuid4().hex[:8]}"
     retired_dir = os.path.join(tbl.path, f"_retired_{run_id}")
     retired_files = 0
@@ -209,16 +206,48 @@ def rollback_table(spark: SparkSession, table_path: str, version: int, *,
             src_dir = os.path.dirname(d)
             if not os.listdir(src_dir):
                 os.rmdir(src_dir)
-    # per-run manifest files of rolled-back batches go aside too, so the
-    # manifest<->data integrity diff stays clean
-    for fname in list(os.listdir(tbl.manifest_dir)):
-        if fname.startswith("append-") and fname.endswith(".parquet"):
-            man_run = fname[len("append-"):-len(".parquet")]
-            if man_run not in visible_runs:
-                dst = os.path.join(retired_dir, "manifest")
+    # manifest retirement is decided from the TARGET snapshot's recorded
+    # manifest state, never inferred from data-file name prefixes: after a
+    # compaction the data files carry the compaction run's names while
+    # their chunk rows still belong to the original append manifests, so
+    # a prefix heuristic would retire live manifests and break the
+    # manifest<->data integrity diff. Snapshots that predate the
+    # manifest_files key (or were written by old code) fall back to the
+    # prefix heuristic, guarded: it is only sound while no compaction ever
+    # ran, so a recorded last_compaction makes the rollback refuse loudly.
+    target_manifests = target.get("manifest_files")
+    if target_manifests is None:
+        if target.get("last_compaction") or (tbl.snapshot() or {}).get("last_compaction"):
+            raise ValueError(
+                f"v{version} records no manifest listing and a compaction "
+                "exists in this table's history — rollback would corrupt "
+                "manifest<->data integrity; re-append or compact once to "
+                "record manifest state, then roll back"
+            )
+        visible_runs = {os.path.basename(p).rsplit("-", 1)[0] for p in visible}
+        target_manifests = [
+            f for f in tbl.manifest_file_listing()
+            if not (f.startswith("append-") and
+                    f[len("append-"):-len(".parquet")] not in visible_runs)
+        ]
+    keep = set(target_manifests)
+    for fname in tbl.manifest_file_listing():
+        if fname not in keep:
+            dst = os.path.join(retired_dir, "manifest")
+            os.makedirs(dst, exist_ok=True)
+            os.replace(os.path.join(tbl.manifest_dir, fname),
+                       os.path.join(dst, fname))
+    # doc_id sidecars of rolled-back runs go aside too — the streaming
+    # dedup seen-set must not treat rolled-back docs as already ingested
+    target_runs = target.get("runs")
+    if target_runs is not None and os.path.isdir(tbl.docid_index_dir):
+        keep_dirs = {f"append-{r}" for r in target_runs}
+        for ent in list(os.listdir(tbl.docid_index_dir)):
+            if ent not in keep_dirs:
+                dst = os.path.join(retired_dir, "index", "docids")
                 os.makedirs(dst, exist_ok=True)
-                os.replace(os.path.join(tbl.manifest_dir, fname),
-                           os.path.join(dst, fname))
+                os.replace(os.path.join(tbl.docid_index_dir, ent),
+                           os.path.join(dst, ent))
 
     from eggopress import lineage as lineagelib
 
@@ -277,6 +306,7 @@ def compact_table(spark: SparkSession, table_path: str, *,
     snap["stage"] = "encoded"
     snap["partitions"] = tbl.partition_dirs()
     snap["files"] = tbl.partition_file_listing()
+    snap["manifest_files"] = tbl.manifest_file_listing()
     snap["last_compaction"] = run_id
     tbl.commit_snapshot(snap)
     return {

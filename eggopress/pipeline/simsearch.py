@@ -171,9 +171,29 @@ def ivf_topk(df: DataFrame, query_vec, k: int = 10, *,
 
     Assignment ties break on the smaller cell id (row_number ordering), so
     results are deterministic in both dialects.
-    """
-    cent = df.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+
+    The quantizer is validated, not trusted: on a table whose vec_ids are
+    sparse / offset / non-contiguous the vec_id<n_cells sample can yield
+    fewer (even zero) centroids, and a zero-centroid assignment join would
+    silently return an EMPTY result — so a short centroid set raises. The
+    centroids are collected once (n_cells rows — broadcast-sized by
+    construction) and reused for both the assignment join and the probe
+    ranking, instead of re-scanning the table for each."""
+    cent_rows = (
+        df.filter(F.col("vec_id") < n_cells)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
+        .collect()
+    )
+    if len(cent_rows) < n_cells:
+        raise ValueError(
+            f"ivf_topk: quantizer degraded — only {len(cent_rows)} of "
+            f"{n_cells} centroid rows exist (vec_ids sparse or offset?); "
+            "pick centroids by rank over the table's actual ids instead"
+        )
+    spark = df.sparkSession
+    cent = spark.createDataFrame(
+        [(int(r["cid"]), [float(x) for x in r["cemb"]]) for r in cent_rows],
+        "cid bigint, cemb array<double>",
     )
     cos_vc = _cos_spark(EMB_D_SPARK, "cast(cemb as array<double>)")
     from pyspark.sql.window import Window

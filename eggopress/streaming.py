@@ -59,8 +59,9 @@ def stream_ingest(spark: SparkSession, input_dir: str, table_path: str, *,
     — applying it on the unbounded stream instead would make Structured
     Streaming keep every doc_id ever seen in checkpoint state).
     dedup_across_batches=True additionally anti-joins each micro-batch
-    against the doc_ids already IN THE TABLE (blob-projected decode of
-    the doc_id stream; content-addressed ids make exact copies collide),
+    against the doc_ids already IN THE TABLE (via the per-batch doc_id
+    sidecars encode_append maintains — O(table ids) of skinny parquet,
+    never a blob decode; content-addressed ids make exact copies collide),
     so a re-crawled document never lands twice — across batches, across
     stream restarts with a fresh checkpoint, and across multiple landing
     dirs feeding one table. Replay-safe: a batch already recorded in
@@ -71,7 +72,6 @@ def stream_ingest(spark: SparkSession, input_dir: str, table_path: str, *,
     first attempt did.
     """
     from eggopress import decode, encode
-    from eggopress.encode import _lineage_run_ids
     from eggopress.pipeline import textstats
     from eggopress.tablefmt import Table
 
@@ -87,8 +87,7 @@ def stream_ingest(spark: SparkSession, input_dir: str, table_path: str, *,
         df = batch_df.dropDuplicates(["doc_id"])
         if dedup_across_batches:
             tbl = Table(table_path)
-            replayed = run_id in set(_lineage_run_ids(s, tbl))
-            if tbl.snapshot() is not None and not replayed:
+            if tbl.snapshot() is not None and not encode._run_recorded(s, tbl, run_id):
                 seen = decode.seen_doc_ids(s, table_path, exclude_run=run_id)
                 df = df.join(seen, "doc_id", "left_anti")
         encode.encode_append(s, df, table_path, run_id=run_id)

@@ -31,6 +31,10 @@ class Table:
         self.data_dir = os.path.join(self.path, "data")
         self.manifest_dir = os.path.join(self.path, "manifest")
         self.lineage_dir = os.path.join(self.path, "lineage")
+        # per-append-run doc_id sidecars (index/docids/append-<run_id>/):
+        # the streaming cross-batch dedup seen-set reads these skinny
+        # parquet files instead of blob-decoding the whole table per batch
+        self.docid_index_dir = os.path.join(self.path, "index", "docids")
 
     # ---------------------------------------------------------- snapshots
 
@@ -72,7 +76,8 @@ class Table:
         a previous plan (which would decode as phantom/duplicate rows).
         Snapshot history in metadata/ is kept — the new encode commits the
         next version."""
-        for d in (self.data_dir, self.manifest_dir, self.lineage_dir):
+        for d in (self.data_dir, self.manifest_dir, self.lineage_dir,
+                  os.path.join(self.path, "index")):
             shutil.rmtree(d, ignore_errors=True)
         if os.path.isdir(self.path):
             for ent in os.listdir(self.path):
@@ -94,7 +99,8 @@ class Table:
                                   "schema": "corpus_v1"})
         retired = os.path.join(self.path, f"_retired_{run_id}")
         moved = False
-        for d in (self.data_dir, self.manifest_dir, self.lineage_dir):
+        for d in (self.data_dir, self.manifest_dir, self.lineage_dir,
+                  os.path.join(self.path, "index")):
             if os.path.isdir(d):
                 os.makedirs(retired, exist_ok=True)
                 os.replace(d, os.path.join(retired, os.path.basename(d)))
@@ -175,6 +181,21 @@ class Table:
             d = os.path.join(self.data_dir, pid)
             out[pid] = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
         return out
+
+    def manifest_file_listing(self) -> list[str]:
+        """Sorted manifest parquet file names currently on disk. Recorded
+        into each snapshot so rollback can decide manifest retirement from
+        the TARGET snapshot's manifest state instead of inferring it from
+        data-file name prefixes (which breaks across a compaction: the
+        compacted data files carry the compaction run's name while their
+        chunk rows still belong to the original append manifests)."""
+        if not os.path.isdir(self.manifest_dir):
+            return []
+        return sorted(f for f in os.listdir(self.manifest_dir)
+                      if f.endswith(".parquet"))
+
+    def docid_sidecar_dir(self, run_id: str) -> str:
+        return os.path.join(self.docid_index_dir, f"append-{run_id}")
 
     def listing_at_version(self, version: int) -> list[str]:
         """Absolute chunk-file paths recorded in snapshot <version>, as

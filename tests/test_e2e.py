@@ -83,10 +83,20 @@ def test_projected_decode_matches_full(spark, corpus, encoded_table):
     assert tokens_only.columns == ["tokens"]
     assert tokens_only.count() == N_DOCS
 
+    # caller order honored even when it differs from schema order —
+    # positional consumers of the CLI --columns output depend on this
+    rev = decode.decode_table(spark, path, columns=["source", "doc_id"])
+    assert rev.columns == ["source", "doc_id"]
+    rev_ranged = decode.decode_table(spark, path, n_tok_range=(30, 60),
+                                     columns=["source", "doc_id"])
+    assert rev_ranged.columns == ["source", "doc_id"]
+
     with pytest.raises(ValueError):
         decode.decode_table(spark, path, columns=["nope"])
     with pytest.raises(ValueError):
         decode.decode_table(spark, path, columns=[])
+    with pytest.raises(ValueError):
+        decode.decode_table(spark, path, columns=["doc_id", "doc_id"])
 
 
 def test_compression_beats_reference_parquet(spark, corpus, encoded_table, scratch):

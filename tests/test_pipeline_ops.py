@@ -386,3 +386,18 @@ def test_scratch_override_runs_dedup_paths_on_plain_dir(spark, docs, tmp_path, m
 
     clusters = dedup.resolve_clusters(dedup.simhash_pairs(docs, 3))
     assert clusters.count() > 0
+
+
+def test_ivf_raises_on_sparse_vec_ids(spark, embs):
+    """A degraded quantizer (vec_ids offset past n_cells) must fail loudly
+    instead of silently returning an empty result."""
+    from eggopress.pipeline import simsearch
+
+    q = [0.1] * 64
+    offset = embs.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    with pytest.raises(ValueError, match="quantizer degraded"):
+        simsearch.ivf_topk(offset, q, 5)
+    # intact ids still work and probing all cells reproduces brute exactly
+    full = simsearch.ivf_topk(embs, q, 5, n_cells=8, nprobe=8)
+    brute = simsearch.brute_topk(embs, q, 5)
+    assert [tuple(r) for r in full.collect()] == [tuple(r) for r in brute.collect()]

@@ -147,13 +147,20 @@ def test_append_retry_after_crash_before_lineage_is_idempotent(spark, tmp_path):
     encode.encode_append(spark, corpus, table, run_id="stream-00000001")
     tbl = Table(table)
 
-    # simulate the crash: erase the batch's lineage rows (promote +
-    # manifest already happened), so the replay-skip cannot trigger
+    # simulate the crash: erase the batch's lineage rows AND its snapshot
+    # run entry (promote + manifest + sidecar already happened; the
+    # lineage wave and the snapshot commit both come later in
+    # encode_append, so neither exists at this crash point) — the
+    # replay-skip must then NOT trigger
     for f in list(os.listdir(tbl.lineage_dir)):
         p = os.path.join(tbl.lineage_dir, f)
         if "stream-00000001" in set(pq.read_table(p, columns=["run_id"])
                                     .column("run_id").to_pylist()):
             os.remove(p)
+    meta = os.path.join(tbl.meta_dir, f"v{tbl.current_version()}.metadata.json")
+    snap = json.load(open(meta))
+    snap["runs"] = [r for r in snap.get("runs", []) if r != "stream-00000001"]
+    json.dump(snap, open(meta, "w"))
 
     s2 = encode.encode_append(spark, corpus, table, run_id="stream-00000001")
     assert s2.get("replayed") is None and s2["rows"] == 300
@@ -443,3 +450,99 @@ def test_seen_doc_ids_excludes_named_run(spark, tmp_path):
     assert only_b.count() == 10
     a_ids = {r["doc_id"] for r in textstats.tokenize(a, make_ids=False).select("doc_id").collect()}
     assert not a_ids & {r["doc_id"] for r in only_b.collect()}
+
+
+def test_seen_doc_ids_reads_sidecars_not_blobs(spark, tmp_path):
+    """Scale contract: on an append table the cross-batch seen-set must be
+    served from the per-run doc_id sidecars (skinny parquet under
+    index/docids/), never by blob-decoding chunk files — the previous
+    O(table)-per-micro-batch scan made a long-lived stream quadratic."""
+    from eggopress import synth
+
+    table = str(tmp_path / "sidecar_tbl")
+    encode.encode_append(spark, synth.corpus_df(spark, 200), table,
+                         run_id="stream-00000000")
+    encode.encode_append(spark, synth.corpus_df(spark, 200, seed=9), table,
+                         run_id="stream-00000001")
+
+    seen = decode.seen_doc_ids(spark, table)
+    files = seen.inputFiles()
+    assert files and all("index/docids/" in f for f in files), files
+    assert not any("/data/" in f for f in files)
+    assert seen.count() == 400
+
+    excl = decode.seen_doc_ids(spark, table, exclude_run="stream-00000000")
+    assert excl.count() == 200
+    assert all("append-stream-00000001" in f for f in excl.inputFiles())
+
+    # replay of a batch overwrites its sidecar (stays idempotent)
+    snap_runs = Table(table).snapshot()["runs"]
+    assert snap_runs == ["stream-00000000", "stream-00000001"]
+
+    # a table with a missing sidecar degrades to the decode path, not to
+    # silent under-reporting
+    import shutil
+
+    shutil.rmtree(Table(table).docid_sidecar_dir("stream-00000000"))
+    fallback = decode.seen_doc_ids(spark, table)
+    assert fallback.count() == 400
+    assert any("/data/" in f for f in fallback.inputFiles())
+
+
+def test_rollback_after_compaction_keeps_manifests(spark, tmp_path):
+    """Rolling back to a POST-compaction version must keep the original
+    append batches' manifest files: the compacted data files carry the
+    compaction run's names, but their chunk rows still belong to those
+    manifests. (The old name-prefix heuristic retired them all.)"""
+    from eggopress import maintenance
+
+    landing = _landing(tmp_path, n_files=3)
+    table = str(tmp_path / "rbc_tbl")
+    streaming.stream_ingest(
+        spark, landing, table,
+        checkpoint=str(tmp_path / "ckpt_rbc"), max_files_per_trigger=1,
+    ).awaitTermination()
+    tbl = Table(table)
+    maintenance.compact_table(spark, table)
+    v_post_compact = tbl.current_version()
+
+    # one more batch after the compaction, then roll it back
+    import os
+
+    with open(os.path.join(landing, "extra.jsonl"), "w") as f:
+        f.write("\n".join(json.dumps({
+            "doc_id": None, "text": f"extra doc {i}", "source": "late",
+            "ts": "2026-01-01T02:00:00"}) for i in range(10)))
+    streaming.stream_ingest(
+        spark, landing, table,
+        checkpoint=str(tmp_path / "ckpt_rbc"), max_files_per_trigger=1,
+    ).awaitTermination()
+    assert decode.decode_table(spark, table).count() == 130
+
+    maintenance.rollback_table(spark, table, v_post_compact)
+    assert decode.decode_table(spark, table).count() == 120
+    # all three original append manifests survived the rollback
+    manifests = tbl.manifest_file_listing()
+    assert sorted(m for m in manifests if m.startswith("append-stream-000000")) == [
+        f"append-stream-{b:08d}.parquet" for b in range(3)
+    ]
+    report = maintenance.table_report(spark, table)
+    assert report["healthy"] is True and report["rows"] == 120
+    # the rolled-back batch's sidecar went aside with it: its docs are no
+    # longer "seen", so a re-ingest would land them again
+    assert decode.seen_doc_ids(spark, table).count() == 120
+
+
+def test_append_chunk_ids_unique_across_many_stream_batches(spark):
+    """The stream chunk-id namespace is the batch id itself — consecutive
+    batches can never collide (the md5-hash namespace collided with ~50%
+    probability by ~180 batches)."""
+    from eggopress.encode import _append_chunk_base
+
+    bases = [_append_chunk_base(f"stream-{b:08d}")[0] for b in range(2000)]
+    assert len(set(bases)) == 2000
+    base, shift = _append_chunk_base("stream-00000007")
+    assert shift == 15 and base == (1 << 62) | (7 << 30)
+    # ad-hoc run ids keep a hash namespace clear of the stream marker bit
+    ahbase, ahshift = _append_chunk_base("runA")
+    assert ahshift == 32 and ahbase < (1 << 62) and (ahbase & ((1 << 48) - 1)) == 0
