@@ -173,6 +173,28 @@ def _q_edition_flat_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_edition_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned edition read: the locuspart edition is
+    hive-partitioned by source, so a two-source filter touches two
+    directories of the edition, not the table (pruning plan-asserted in
+    tests/test_plans.py::test_edition_locuspart_scan_prunes_partitions)."""
+    from eggopress import editions
+
+    path = _roundtrip_table(spark, sf_dir)
+    out = editions.list_editions(path).get("locuspart")
+    if out is None or not os.path.isdir(out):
+        out = editions.materialize(spark, path, "locuspart")
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("source").isin(["src1", "src2"]))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_tok").cast("long")).alias("n_tok_sum"),
+        )
+    )
+
+
 def _manifest_ingest_table(spark: SparkSession, sf_dir: str) -> str:
     """Fixture for S2 manifest ingest: split the documents table into two
     resources by doc_id parity — 'evens' as gzip'd jsonl, 'odds' as plain
@@ -400,6 +422,20 @@ def _q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.knn_join(emb, queries, 10)
 
 
+def _q_ann_knn_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed k-NN join (the no-broadcast variant for huge query
+    batches): both sides band-bucket on the seeded hyperplanes, only
+    bucket-sharing pairs are scored. Deterministic, so fully
+    oracle-checked."""
+    from eggopress.pipeline import simsearch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return simsearch.knn_join_bucketed(emb, queries, 10)
+
+
 def _q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eggopress.pipeline import textstats
 
@@ -510,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p4_projected_decode": _q_projected_decode,
         "agg_stats_pushdown": _q_stats_pushdown,
         "edition_flat_rollup": _q_edition_flat_rollup,
+        "edition_scan_pruned": _q_edition_scan_pruned,
         "s2_manifest_ingest": _q_manifest_ingest,
         "stream_ingest_rollup": _q_stream_ingest,
         "d1_skew_source_counts": _q_skew_source_counts,
@@ -527,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_knn_join": _q_ann_knn_join,
+        "ann_knn_join_bucketed": _q_ann_knn_join_bucketed,
         "text_token_counts": _q_text_token_counts,
         "text_lang_id": _q_text_lang_id,
         "text_quality": _q_text_quality,
@@ -598,6 +636,13 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(coalesce(list_sum({textstats.TOKENS_DUCK}), 0)) as bigint) AS token_sum
             FROM documents GROUP BY source
         """,
+        "edition_scan_pruned": f"""
+            SELECT source, count(*) AS n_docs,
+                   cast(sum(len({textstats.WORDS_DUCK})) as bigint) AS n_tok_sum
+            FROM documents
+            WHERE source IN ('src1', 'src2')
+            GROUP BY source
+        """,
         "s2_manifest_ingest": parity_rollup,
         "stream_ingest_rollup": parity_rollup,
         "d1_skew_source_counts": "SELECT source, count(*) AS n FROM documents GROUP BY source",
@@ -633,6 +678,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_ivf_topk": simsearch.ivf_topk_oracle(0, 10),
         "ann_knn_join": simsearch.knn_join_oracle(10, 5),
+        "ann_knn_join_bucketed": simsearch.knn_join_bucketed_oracle(10, 5),
         "text_token_counts": textstats.TOKEN_COUNTS_ORACLE,
         "text_lang_id": textstats.LANG_ID_ORACLE,
         "text_quality": textstats.QUALITY_ORACLE,

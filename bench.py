@@ -32,6 +32,12 @@ BENCH_DOCS = int(os.environ.get("EGGOPRESS_BENCH_DOCS", "60000"))
 def _session(cpus: int):
     from eggopress.conf import session_builder
 
+    # the bench is single-host by definition, so it opts into the tmpfs
+    # scratch override the engine documents for local mode (the DEFAULT
+    # scratch root is the shared warehouse dir — cluster-safe, but a
+    # spinning-disk detour this box doesn't need)
+    os.environ.setdefault("EGGOPRESS_SCRATCH_DIR", "/dev/shm/eggopress-scratch")
+
     spark = (
         session_builder("eggopress-bench", cores=cpus)
         .config("spark.ui.enabled", "false")
@@ -83,6 +89,21 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         extras["encoded_bytes"] = summary["encoded_bytes"]
         extras["raw_bytes"] = summary["raw_bytes"]
 
+        # the clustering trade, measured as a PAIR on identical input:
+        # cluster=False skips the content-signature sort (max encode
+        # throughput), cluster=True (the default arm above) buys ratio
+        # with that sort — both tokens/sec and bytes published side by
+        # side so the trade is a number, not a narrative
+        table_nc = os.path.join(SCRATCH, f"tbl_nc_{cpus}")
+        shutil.rmtree(table_nc, ignore_errors=True)
+        nc = timed(
+            "corpus_encode_nocluster",
+            lambda: encode.encode_table(spark, corpus, table_nc, cluster=False),
+        )
+        extras["tokens_per_sec_encode_nocluster"] = round(
+            nc["values"] / times["corpus_encode_nocluster"])
+        extras["encoded_bytes_nocluster"] = nc["encoded_bytes"]
+
         n_dec = timed("corpus_decode", lambda: decode.decode_table(spark, table).count())
         assert n_dec == summary["rows"], (n_dec, summary["rows"])
         extras["tokens_per_sec_decode"] = round(summary["values"] / times["corpus_decode"])
@@ -113,6 +134,10 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         extras["on_disk_bytes"] = Table(table).tree_bytes("data")
         extras["reference_parquet_bytes"] = ref
         extras["ratio_vs_reference"] = round(ref / max(extras["on_disk_bytes"], 1), 4)
+        extras["on_disk_bytes_nocluster"] = Table(table_nc).tree_bytes("data")
+        extras["ratio_vs_reference_nocluster"] = round(
+            ref / max(extras["on_disk_bytes_nocluster"], 1), 4)
+        shutil.rmtree(table_nc, ignore_errors=True)
 
         qs = entrymod.queries()
         for name in (

@@ -38,6 +38,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     enc.add_argument("--resume", action="store_true")
     enc.add_argument("--waves", type=int, default=1)
     enc.add_argument("--retries", type=int, default=0)
+    enc.add_argument("--no-cluster", action="store_true",
+                     help="skip the content-clustering sort (max encode "
+                          "throughput; larger encoded size)")
 
     ing = sub.add_parser(
         "ingest", help="raw corpus (jsonl/text/parquet docs) -> tokenize -> encoded table"
@@ -154,6 +157,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             summary = encode.encode_table(
                 spark, df, args.table, n_partitions=args.partitions,
                 resume=args.resume, waves=args.waves, retries=args.retries,
+                cluster=not args.no_cluster,
             )
             print(json.dumps(summary))
         elif args.cmd == "ingest":

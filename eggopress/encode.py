@@ -27,6 +27,36 @@ from eggopress.schema import CHUNK_SCHEMA, CORPUS_ARROW_SCHEMA
 from eggopress.tablefmt import Table
 
 
+def _sort_keys(cluster: bool) -> list:
+    """In-partition sort keys ahead of chunking.
+
+    cluster=True — content clustering: docs sort by a cheap content
+    signature (first token, then length) so similar docs land in the same
+    chunk — dict/RLE/FOR locality is worth ~11% encoded size on the
+    synthetic mix (60.0 MB vs 67.4 MB at the 60k-doc bench) at no extra
+    shuffle; doc_id last keeps the order (and therefore chunking + codec
+    choice) deterministic. Trade-offs: (a) chunk n_tok min/max stats
+    widen, so n_tok-predicate chunk skipping prunes less than a pure-
+    n_tok sort would; (b) the comparator costs encode throughput
+    (measured r2->r3: suite encode 2.99M -> 2.20M tok/s at 60k docs) —
+    both arms are published side by side in the bench
+    (corpus_encode vs corpus_encode_nocluster). The 100 TB default
+    favors the always-on ratio win: encode cost is paid once, the size
+    win is paid on every scan/transfer forever after. Measured
+    alternatives (200k-doc bench, identical input): deeper prefixes
+    (tokens[0..1], tokens[0..2]) and full lexicographic token-array sort
+    all encode 3-6% LARGER (they scramble the n_tok sub-sort that the
+    length stream's FOR codec rides on) and the full-array comparator
+    costs ~30% throughput.
+
+    cluster=False — arrival clustering only: sort by doc_id within the
+    partition keys. Still fully deterministic; maximum encode throughput.
+    """
+    if cluster:
+        return ["source", "salt", F.expr("tokens[0]"), "n_tok", "doc_id"]
+    return ["source", "salt", "doc_id"]
+
+
 def plan_salts(source_counts: dict[str, int], n_partitions: int) -> dict[str, int]:
     """Salt count per source, proportional to its row share (min 1).
 
@@ -178,6 +208,7 @@ def encode_table(
     fail_partitions: frozenset[str] | tuple[str, ...] = (),
     fail_until_attempt: dict[str, int] | None = None,
     salts: dict[str, int] | None = None,
+    cluster: bool = True,
 ) -> dict:
     """Encode a corpus DataFrame into an eggopress table. Returns a summary.
 
@@ -188,6 +219,13 @@ def encode_table(
     phantom/duplicate rows. retries=N re-runs a failed wave up to N times
     (driver-level auto-retry, SURVEY.md V3 — the eggo sleep_progressive
     analog, eggo/util.py:50-59), recording each failure in lineage.
+
+    cluster=True (default) content-clusters docs within each partition
+    before chunking — better ratio at some encode-throughput cost (the
+    measured trade lives in _sort_keys below and both arms are published
+    in the bench); cluster=False is the opt-out for throughput-bound
+    deployments. Decode output is identical either way (chunk boundaries
+    move, rows don't).
     """
     tbl = Table(table_path)
     run_id = run_id or uuid.uuid4().hex[:12]
@@ -258,23 +296,8 @@ def encode_table(
             wdf = salted.filter(cond.isin(wave_pids))
 
         n_shuffle = max(len(wave_pids), 1)
-        # content clustering before chunking: within a partition, docs are
-        # sorted by a cheap content signature (first token, then length)
-        # so similar docs land in the same chunk — dict/RLE/FOR locality
-        # is worth ~11% encoded size on the synthetic mix (60.0 MB vs
-        # 67.4 MB at the 60k-doc bench) at no extra shuffle; doc_id last
-        # keeps the order (and therefore chunking + codec choice)
-        # deterministic. Trade-off: chunk n_tok min/max stats widen, so
-        # n_tok-predicate chunk skipping prunes less than a pure-n_tok
-        # sort would; the 100 TB default favors the always-on ratio win
-        # over the sometimes-on predicate win. Measured alternatives
-        # (200k-doc bench, identical input): deeper prefixes
-        # (tokens[0..1], tokens[0..2]) and full lexicographic
-        # token-array sort all encode 3-6% LARGER (they scramble the
-        # n_tok sub-sort that the length stream's FOR codec rides on)
-        # and the full-array comparator costs ~30% throughput.
         arranged = wdf.repartitionByRange(n_shuffle, "source", "salt").sortWithinPartitions(
-            "source", "salt", F.expr("tokens[0]"), "n_tok", "doc_id"
+            *_sort_keys(cluster)
         )
 
         staging = tbl.staging_dir(run_id)
@@ -380,7 +403,8 @@ def encode_table(
 
 
 def encode_append(spark: SparkSession, df: DataFrame, table_path: str, *,
-                  run_id: str, n_partitions: int | None = None) -> dict:
+                  run_id: str, n_partitions: int | None = None,
+                  cluster: bool = True) -> dict:
     """Append-encode one micro-batch into an existing (or new) table —
     the streaming-ingest sink (SURVEY.md-plus: continuous corpus
     ingestion). Unlike encode_table this neither retires previous state
@@ -418,7 +442,7 @@ def encode_append(spark: SparkSession, df: DataFrame, table_path: str, *,
     salted = df.withColumn("salt", _salt_expr(salts))
     arranged = salted.repartitionByRange(
         max(len(partition_ids(salts)), 1), "source", "salt"
-    ).sortWithinPartitions("source", "salt", F.expr("tokens[0]"), "n_tok", "doc_id")
+    ).sortWithinPartitions(*_sort_keys(cluster))
     staging = tbl.staging_dir(run_id)
     chunk_base, task_shift = _append_chunk_base(run_id)
     (

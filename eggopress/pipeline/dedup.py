@@ -196,7 +196,8 @@ def shingle_frame(df: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.6,
-                        method: str = "prefix") -> DataFrame:
+                        method: str = "prefix", *,
+                        materialize: bool = True) -> DataFrame:
     """Exact 3-word-shingle Jaccard >= threshold. Both methods return
     identical results (parity-tested).
 
@@ -253,7 +254,12 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.6,
         "doc_id",
         F.expr("transform(shingles, s -> xxhash64(s))").alias("hsh"),
         "n_sh",
-    ).persist()
+    )
+    # materialize=False returns the LAZY end-to-end plan (no persist, no
+    # scratch write) — for plan inspection/tests; executing it recomputes
+    # the hash table per branch, so production callers keep the default
+    if materialize:
+        hs_docs = hs_docs.persist()
     ex = hs_docs.select("doc_id", "n_sh", F.explode("hsh").alias("sh"))
     dfreq = ex.groupBy("sh").agg(F.count("*").alias("df"))
     ordered = (
@@ -303,6 +309,8 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.6,
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if not materialize:
+        return result_plan
     try:
         # run the whole job now (the pair set is the small side — the
         # deduped output any pipeline materializes anyway), then release

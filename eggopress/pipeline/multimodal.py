@@ -193,32 +193,63 @@ def attach_raster(df: DataFrame) -> DataFrame:
     )
 
 
+def _dim_groups(pdf: pd.DataFrame):
+    """Yield (row_indices, w, h, fr, stacked) per distinct (w, h, fr)
+    group of an Arrow batch: all pixel gathering happens as ONE fancy
+    index per group over one concatenated buffer — the dims are
+    low-cardinality by construction, so the only Python-level loop left
+    runs once per distinct shape, not once per image. (iterrows, the
+    previous idiom, paid pandas Series construction per ROW on top of
+    the per-image loop.)"""
+    if len(pdf) == 0:
+        return
+    w = pdf["width"].to_numpy(dtype=np.int64)
+    h = pdf["height"].to_numpy(dtype=np.int64)
+    fr = pdf["n_frames"].to_numpy(dtype=np.int64)
+    sizes = w * h * fr
+    buf = np.frombuffer(b"".join(pdf["payload"].tolist()), dtype=np.uint8)
+    ends = np.cumsum(sizes)
+    starts = ends - sizes
+    if len(buf) != int(ends[-1] if len(ends) else 0):
+        raise ValueError("raster payload length disagrees with meta dims")
+    key = (w << 40) | (h << 20) | fr
+    order = np.argsort(key, kind="stable")
+    bounds = np.flatnonzero(np.diff(key[order])) + 1
+    for grp in np.split(order, bounds):
+        gw, gh, gf = int(w[grp[0]]), int(h[grp[0]]), int(fr[grp[0]])
+        flat_idx = starts[grp][:, None] + np.arange(gw * gh * gf)[None, :]
+        yield grp, gw, gh, gf, buf[flat_idx].reshape(len(grp), gf, gh, gw)
+
+
 def resize_frames(assets: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Nearest-neighbor resize of every frame to (out_w, out_h) — a REAL
-    pixel operation: each output pixel gathers in[y*h//out_h, x*w//out_w]
-    via vectorized fancy indexing (the per-image python step only builds
-    index maps; all pixel movement is numpy)."""
+    pixel operation: each output pixel gathers in[y*h//out_h, x*w//out_w].
+    Images are processed as one stacked (n, frames, h, w) ndarray per
+    distinct-dims group (see _dim_groups): index-map build, gather, and
+    checksum are each one vectorized numpy op over the whole group."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ox = np.arange(out_w, dtype=np.int64)
         oy = np.arange(out_h, dtype=np.int64)
         for pdf in batches:
-            out_payload, out_sum = [], []
-            for _, row in pdf.iterrows():
-                w, h, fr = int(row["width"]), int(row["height"]), int(row["n_frames"])
-                buf = np.frombuffer(row["payload"], dtype=np.uint8).reshape(fr, h, w)
-                sx = (ox * w) // out_w
-                sy = (oy * h) // out_h
-                resized = buf[:, sy[:, None], sx[None, :]]
-                out_payload.append(resized.tobytes())
-                out_sum.append(int(resized.astype(np.int64).sum()))
+            n = len(pdf)
+            out_payload: list = [None] * n
+            out_sum = np.zeros(n, dtype=np.int64)
+            for grp, gw, gh, gf, stacked in _dim_groups(pdf):
+                sx = (ox * gw) // out_w
+                sy = (oy * gh) // out_h
+                resized = stacked[:, :, sy[:, None], sx[None, :]]
+                out_sum[grp] = resized.sum(axis=(1, 2, 3), dtype=np.int64)
+                flat = resized.reshape(len(grp), -1)
+                for j, i in enumerate(grp):
+                    out_payload[i] = flat[j].tobytes()
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "payload": out_payload,
-                "width": np.full(len(pdf), out_w, dtype="int32"),
-                "height": np.full(len(pdf), out_h, dtype="int32"),
+                "width": np.full(n, out_w, dtype="int32"),
+                "height": np.full(n, out_h, dtype="int32"),
                 "n_frames": pdf["n_frames"],
-                "pixel_sum": np.array(out_sum, dtype="int64"),
+                "pixel_sum": out_sum,
             })
 
     flat = assets.select("doc_id", "payload", "meta.width", "meta.height",
@@ -232,23 +263,26 @@ def resize_frames(assets: DataFrame, out_w: int, out_h: int) -> DataFrame:
 def sample_frames(assets: DataFrame, every_k: int = 2) -> DataFrame:
     """Keep every k-th frame (frame 0, k, 2k, ...): one output row per
     sampled frame with its pixel checksum — the video-pipeline
-    frame-extraction shape (explode on the batch side, vectorized sums)."""
+    frame-extraction shape. Per distinct-dims group the kept frames are
+    sliced and checksummed as one stacked ndarray op."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
             ids, fidx, sums, frames = [], [], [], []
-            for _, row in pdf.iterrows():
-                w, h, fr = int(row["width"]), int(row["height"]), int(row["n_frames"])
-                buf = np.frombuffer(row["payload"], dtype=np.uint8).reshape(fr, h, w)
-                for k in range(0, fr, every_k):
-                    ids.append(row["doc_id"])
-                    fidx.append(k)
-                    sums.append(int(buf[k].astype(np.int64).sum()))
-                    frames.append(buf[k].tobytes())
+            for grp, gw, gh, gf, stacked in _dim_groups(pdf):
+                kept = np.arange(0, gf, every_k)
+                sub = stacked[:, kept]  # (g, nk, h, w)
+                gsums = sub.sum(axis=(2, 3), dtype=np.int64)
+                ids.append(np.repeat(doc_ids[grp], len(kept)))
+                fidx.append(np.tile(kept, len(grp)))
+                sums.append(gsums.reshape(-1))
+                flat = sub.reshape(len(grp) * len(kept), gh * gw)
+                frames.extend(flat[j].tobytes() for j in range(flat.shape[0]))
             yield pd.DataFrame({
-                "doc_id": np.array(ids, dtype="int64"),
-                "frame_idx": np.array(fidx, dtype="int32"),
-                "pixel_sum": np.array(sums, dtype="int64"),
+                "doc_id": np.concatenate(ids) if ids else np.array([], dtype="int64"),
+                "frame_idx": (np.concatenate(fidx) if fidx else np.array([])).astype("int32"),
+                "pixel_sum": np.concatenate(sums) if sums else np.array([], dtype="int64"),
                 "frame": frames,
             })
 

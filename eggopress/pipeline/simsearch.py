@@ -389,6 +389,16 @@ def knn_join(df: DataFrame, queries: DataFrame, k: int = 10,
         "q_id", "vec_id",
         F.expr(_cos_spark(EMB_D_SPARK, "cast(q_emb as array<double>)")).alias("cos"),
     )
+    return _rank_topk(scored, k, prefilter)
+
+
+def _rank_topk(scored: DataFrame, k: int, prefilter: bool) -> DataFrame:
+    """(q_id, vec_id, cos) -> top-k per q_id with rank. prefilter=True
+    keeps each Arrow batch's local top-k per query BEFORE the single rank
+    shuffle (selects by the final ordering on the final scores, so it can
+    never drop a true global top-k member)."""
+    from pyspark.sql.window import Window
+
     if prefilter:
         def _local_topk(batches):
             for pdf in batches:
@@ -404,6 +414,64 @@ def knn_join(df: DataFrame, queries: DataFrame, k: int = 10,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def knn_join_bucketed(df: DataFrame, queries: DataFrame, k: int = 10, *,
+                      dim: int = 64, n_bands: int = NEARDUP_BANDS,
+                      bits_per_band: int = NEARDUP_BITS) -> DataFrame:
+    """Approximate cosine k-NN JOIN for query batches too large to
+    broadcast: band-bucket BOTH sides with the same seeded hyperplanes
+    cosine_neardup uses, score only (query, corpus) pairs sharing at
+    least one band bucket, then rank. Same output shape as knn_join
+    (q_id, vec_id, cos, rank); per-query results may hold fewer than k
+    rows when the buckets prune harder than k.
+
+    Scale shape: no broadcast anywhere — both sides shuffle once on the
+    bucket key (the classic LSH join), candidates dedup, and the scoring
+    joins are plain equi-joins on ids, so a 10^8-row query batch costs
+    the same plan as a 10^2-row one. Recall is the per-pair band-recall
+    1 - (1 - (1 - theta/pi)^bits)^n_bands — tune bands/bits exactly as
+    in cosine_neardup; a query vector always collides with itself, so
+    self-retrieval is certain. Deterministic given the seeded planes
+    (exact SQL oracle in knn_join_bucketed_oracle)."""
+    exprs = _neardup_bucket_exprs(dim, n_bands, bits_per_band, "spark")
+    bucket_arr = F.explode(F.array(*[F.expr(e) for e in exprs])).alias("bucket")
+    cb = df.select("vec_id", bucket_arr)
+    qb = queries.select("q_id", bucket_arr)
+    cand = qb.join(cb, "bucket").select("q_id", "vec_id").distinct()
+    scored = (
+        cand.join(df.select("vec_id", "embedding"), "vec_id")
+        .join(queries.select("q_id", F.col("embedding").alias("q_emb")), "q_id")
+        .select(
+            "q_id", "vec_id",
+            F.expr(_cos_spark(EMB_D_SPARK, "cast(q_emb as array<double>)")).alias("cos"),
+        )
+    )
+    return _rank_topk(scored, k, prefilter=True)
+
+
+def knn_join_bucketed_oracle(k: int = 10, max_q_id: int = 5, *,
+                             dim: int = 64, n_bands: int = NEARDUP_BANDS,
+                             bits_per_band: int = NEARDUP_BITS) -> str:
+    exprs = _neardup_bucket_exprs(dim, n_bands, bits_per_band, "duck")
+    bucket_list = ", ".join(exprs)
+    cos = _cos_duck("e.embedding::DOUBLE[]", "q.q_emb::DOUBLE[]")
+    return f"""
+WITH cb AS (SELECT vec_id, unnest([{bucket_list}]) AS bucket FROM embeddings),
+qb AS (SELECT vec_id AS q_id, unnest([{bucket_list}]) AS bucket
+       FROM embeddings WHERE vec_id < {max_q_id}),
+cand AS (SELECT DISTINCT qb.q_id, cb.vec_id FROM qb JOIN cb USING (bucket)),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {max_q_id}),
+scored AS (
+  SELECT cand.q_id, cand.vec_id, {cos} AS cos
+  FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
+            JOIN q ON q.q_id = cand.q_id
+)
+SELECT q_id, vec_id, cos, rank FROM (
+  SELECT *, cast(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) as int) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
 
 
 def knn_join_oracle(k: int = 10, max_q_id: int = 5) -> str:

@@ -130,3 +130,19 @@ def test_manifest_written(spark, encoded_table):
     cols = {r["column"] for r in man.select("column").distinct().collect()}
     assert cols == {"doc_id", "source", "n_tok", "tokens"}
     assert man.filter(F.col("encoded_bytes") <= 0).count() == 0
+
+
+def test_nocluster_encode_roundtrips_and_sizes(spark, corpus, tmp_path):
+    """cluster=False (the throughput arm of the clustering trade) must
+    still decode bit-identically; the clustered default must not be
+    larger on disk than the unclustered arm on the same input."""
+    nc = str(tmp_path / "nc_tbl")
+    cl = str(tmp_path / "cl_tbl")
+    s_nc = encode.encode_table(spark, corpus, nc, n_partitions=8, cluster=False)
+    s_cl = encode.encode_table(spark, corpus, cl, n_partitions=8)
+    assert verify.roundtrip_ok(corpus, decode.decode_table(spark, nc))
+    assert s_cl["encoded_bytes"] <= s_nc["encoded_bytes"]
+    # determinism of the unclustered arm too
+    nc2 = str(tmp_path / "nc_tbl2")
+    s_nc2 = encode.encode_table(spark, corpus, nc2, n_partitions=8, cluster=False)
+    assert s_nc2["encoded_bytes"] == s_nc["encoded_bytes"]

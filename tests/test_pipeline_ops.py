@@ -401,3 +401,38 @@ def test_ivf_raises_on_sparse_vec_ids(spark, embs):
     full = simsearch.ivf_topk(embs, q, 5, n_cells=8, nprobe=8)
     brute = simsearch.brute_topk(embs, q, 5)
     assert [tuple(r) for r in full.collect()] == [tuple(r) for r in brute.collect()]
+
+
+def test_knn_join_bucketed_subset_of_exact(spark, embs):
+    """The bucketed (no-broadcast) k-NN join returns a subset of the exact
+    join's candidate space with IDENTICAL scores, certain self-retrieval,
+    and rank consistency; measured recall vs exact top-k is reported."""
+    from eggopress.pipeline import simsearch
+
+    queries = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    k = 7
+    exact = {(r.q_id, r.vec_id): r.cos
+             for r in simsearch.knn_join(embs, queries, k).collect()}
+    approx = simsearch.knn_join_bucketed(embs, queries, k).collect()
+    assert approx, "bucketed join must return candidates"
+    # every query retrieves itself at rank 1 (self shares every bucket)
+    rank1 = {r.q_id: r.vec_id for r in approx if r.rank == 1}
+    assert rank1 == {q: q for q in range(5)}
+    # scores agree with brute cosine wherever the pair overlaps exact
+    for r in approx:
+        if (r.q_id, r.vec_id) in exact:
+            assert abs(exact[(r.q_id, r.vec_id)] - r.cos) < 1e-9
+    # per-query rank sequences are 1..n without gaps
+    from collections import defaultdict
+
+    per_q = defaultdict(list)
+    for r in approx:
+        per_q[r.q_id].append(r.rank)
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= k
+    recall = len({(r.q_id, r.vec_id) for r in approx} & set(exact)) / len(exact)
+    print(f"bucketed knn recall vs exact top-{k}: {recall:.3f}")
+    assert recall >= 1 / k  # self-retrieval alone guarantees this floor

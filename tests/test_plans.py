@@ -119,10 +119,12 @@ def test_ngram_prefix_path_has_no_cartesian(spark):
     from eggopress.pipeline import dedup
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    plan = _formatted(dedup.ngram_jaccard_pairs(docs, 0.6))  # default = prefix
+    # materialize=False exposes the lazy end-to-end plan (the default
+    # returns a scratch-parquet reader whose plan is just a scan)
+    plan = _formatted(dedup.ngram_jaccard_pairs(docs, 0.6, materialize=False))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     # candidate generation joins on the shingle key, verification on ids
-    assert "sh" in plan
+    assert "xxhash64" in plan
 
 
 def test_neardup_banded_join_is_key_equi(spark):
@@ -153,3 +155,36 @@ def test_predicate_decode_pushes_stats_filter(spark, table):
     plan = _formatted(decode.read_encoded(spark, table, n_tok_range=(50, 120)))
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
     assert "n_tok_max" in pushed and "n_tok_min" in pushed
+
+
+def test_edition_locuspart_scan_prunes_partitions(spark, table, tmp_path_factory):
+    """A locuspart edition is hive-partitioned by source; a filtered read
+    must prune at the directory level (PartitionFilters carries the
+    source predicate, and the scan lists only the matching partition)."""
+    from eggopress import editions
+
+    out = editions.materialize(
+        spark, table, "locuspart",
+        str(tmp_path_factory.mktemp("ed") / "locuspart"))
+    df = (spark.read.parquet(out)
+          .filter(F.col("source") == "web").select("doc_id", "n_tok"))
+    plan = _formatted(df)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "source" in pf and "web" in pf
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "tokens" not in read_schema, "projection must prune the token column"
+
+
+def test_knn_join_bucketed_has_no_cartesian(spark):
+    """The bucketed k-NN join must be bucket-key equi-joins end to end —
+    no broadcast of the query side, no cartesian/NLJ anywhere."""
+    from eggopress.pipeline import simsearch
+
+    emb = spark.range(64).selectExpr(
+        "id as vec_id",
+        "transform(sequence(1, 64), i -> cast(pmod(id * i, 97) as float) / 97.0) as embedding",
+    )
+    q = emb.limit(4).selectExpr("vec_id as q_id", "embedding")
+    plan = _formatted(simsearch.knn_join_bucketed(emb, q, 5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
