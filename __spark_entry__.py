@@ -150,6 +150,19 @@ def _q_projected_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode.decode_table(spark, path, columns=["doc_id", "n_tok", "source"])
 
 
+def _q_token_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-VALUE predicate (the "which docs mention token X" scan):
+    chunks whose [tok_min, tok_max] stats window misses the range are
+    skipped at the parquet scan; surviving rows get an exact exists()
+    filter. Projection keeps only metadata columns in the result while
+    the filter column is added and dropped internally."""
+    from eggopress import decode
+
+    path = _roundtrip_table(spark, sf_dir)
+    return decode.decode_table(spark, path, token_range=(40000, 40200),
+                               columns=["doc_id", "n_tok", "source"])
+
+
 def _q_stats_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only per-source totals from chunk stats (no blob decode)."""
     from eggopress import decode
@@ -543,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c6_codec_selection": _q_codec_selection,
         "v1_lineage": _q_lineage,
         "p2_predicate_decode": _q_predicate_decode,
+        "p2_token_predicate": _q_token_predicate,
         "p4_projected_decode": _q_projected_decode,
         "agg_stats_pushdown": _q_stats_pushdown,
         "edition_flat_rollup": _q_edition_flat_rollup,
@@ -618,6 +632,14 @@ def oracle_sql() -> dict[str, str]:
                    source
             FROM documents
             WHERE len({textstats.WORDS_DUCK}) BETWEEN 30 AND 60
+        """,
+        "p2_token_predicate": f"""
+            SELECT concat(source, '-', lpad(cast(doc_id as varchar), 10, '0')) AS doc_id,
+                   cast(len({textstats.WORDS_DUCK}) as int) AS n_tok,
+                   source
+            FROM documents
+            WHERE len(list_filter({textstats.TOKENS_DUCK},
+                                  t -> t >= 40000 AND t <= 40200)) > 0
         """,
         "p4_projected_decode": f"""
             SELECT concat(source, '-', lpad(cast(doc_id as varchar), 10, '0')) AS doc_id,

@@ -110,6 +110,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                      help="predicate decode: skip chunks/rows below this n_tok")
     dec.add_argument("--n-tok-max", type=int, default=None,
                      help="predicate decode: skip chunks/rows above this n_tok")
+    dec.add_argument("--token-min", type=int, default=None,
+                     help="keep docs containing a token value >= this "
+                          "(chunk skip on tok_min/tok_max stats)")
+    dec.add_argument("--token-max", type=int, default=None,
+                     help="keep docs containing a token value <= this")
     dec.add_argument("--version", type=int, default=None,
                      help="time travel: decode the file set recorded by "
                           "snapshot N (append tables keep history)")
@@ -232,10 +237,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             rng = None
             if args.n_tok_min is not None or args.n_tok_max is not None:
                 rng = (args.n_tok_min, args.n_tok_max)
+            trng = None
+            if args.token_min is not None or args.token_max is not None:
+                trng = (args.token_min, args.token_max)
             cols = args.columns.split(",") if args.columns else None
             decode.decode_table(
                 spark, args.table, sources, n_tok_range=rng,
-                version=args.version, columns=cols,
+                version=args.version, columns=cols, token_range=trng,
             ).write.mode("overwrite").parquet(args.output)
             print(json.dumps({"output": args.output}))
         elif args.cmd == "changes":

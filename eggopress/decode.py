@@ -18,7 +18,8 @@ from eggopress.tablefmt import Table
 def read_encoded(spark: SparkSession, table_path: str,
                  sources: list[str] | None = None,
                  n_tok_range: tuple[int | None, int | None] | None = None,
-                 version: int | None = None) -> DataFrame:
+                 version: int | None = None,
+                 token_range: tuple[int | None, int | None] | None = None) -> DataFrame:
     tbl = Table(table_path)
     if version is not None:
         # time travel: exactly the chunk files snapshot <version> recorded
@@ -39,6 +40,15 @@ def read_encoded(spark: SparkSession, table_path: str,
             df = df.filter(df.n_tok_max >= lo)
         if hi is not None:
             df = df.filter(df.n_tok_min <= hi)
+    if token_range:
+        # token-VALUE window skip: a chunk whose [tok_min, tok_max] misses
+        # [lo, hi] cannot contain a qualifying token — same pushdown shape
+        # as n_tok_range, over the value-domain stats
+        lo, hi = token_range
+        if lo is not None:
+            df = df.filter(df.tok_max >= lo)
+        if hi is not None:
+            df = df.filter(df.tok_min <= hi)
     return df
 
 
@@ -175,20 +185,32 @@ def decode_table(spark: SparkSession, table_path: str,
                  sources: list[str] | None = None,
                  n_tok_range: tuple[int | None, int | None] | None = None,
                  version: int | None = None,
-                 columns: list[str] | None = None) -> DataFrame:
+                 columns: list[str] | None = None,
+                 token_range: tuple[int | None, int | None] | None = None) -> DataFrame:
     """Decode a table; `n_tok_range=(lo, hi)` is the predicate path (P2):
     chunk-level min/max skipping at the scan, then an exact row filter on
     the decoded output (chunk stats only bound, rows inside a surviving
-    chunk may still miss the range). `version=N` time-travels to snapshot
-    N's recorded file set. `columns=` projects at the BLOB level: only the
-    requested columns' encoded streams are read and decoded (P4 on data);
-    the result carries the columns in the CALLER'S order (positional
-    consumers of e.g. the CLI --columns output rely on it — the trailing
-    select is free, the data is already decoded)."""
-    enc = read_encoded(spark, table_path, sources, n_tok_range, version)
+    chunk may still miss the range). `token_range=(lo, hi)` keeps docs
+    containing AT LEAST ONE token value in [lo, hi] — the
+    "which docs mention token X" scan: chunks whose [tok_min, tok_max]
+    window misses the range are skipped at the scan before any blob read;
+    surviving chunks decode and an exact exists() filter runs per row
+    (this one must decode the token stream, so project columns= to what
+    you need and let the chunk skip carry the savings). `version=N`
+    time-travels to snapshot N's recorded file set. `columns=` projects
+    at the BLOB level: only the requested columns' encoded streams are
+    read and decoded (P4 on data); the result carries the columns in the
+    CALLER'S order (positional consumers of e.g. the CLI --columns output
+    rely on it — the trailing select is free, the data is already
+    decoded)."""
+    enc = read_encoded(spark, table_path, sources, n_tok_range, version,
+                       token_range)
     eff = columns
-    if n_tok_range and columns is not None and "n_tok" not in columns:
-        eff = list(columns) + ["n_tok"]  # needed for the exact row filter
+    if columns is not None:
+        need = [c for c, rng in (("n_tok", n_tok_range), ("tokens", token_range))
+                if rng and c not in columns]
+        if need:
+            eff = list(columns) + need  # needed for the exact row filters
     out = _decode_df(enc, eff)
     if n_tok_range:
         lo, hi = n_tok_range
@@ -196,6 +218,13 @@ def decode_table(spark: SparkSession, table_path: str,
             out = out.filter(out.n_tok >= lo)
         if hi is not None:
             out = out.filter(out.n_tok <= hi)
+    if token_range:
+        lo, hi = token_range
+        conds = [c for c in (
+            None if lo is None else f"t >= {int(lo)}",
+            None if hi is None else f"t <= {int(hi)}",
+        ) if c]
+        out = out.filter(F.expr(f"exists(tokens, t -> {' and '.join(conds)})"))
     if columns is not None:
         out = out.select(*columns)
     return out

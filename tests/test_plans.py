@@ -188,3 +188,24 @@ def test_knn_join_bucketed_has_no_cartesian(spark):
     plan = _formatted(simsearch.knn_join_bucketed(emb, q, 5))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_token_predicate_pushes_value_stats_filter(spark, table):
+    """token_range chunk skipping: the tok_min/tok_max predicates must
+    reach the parquet scan (PushedFilters), and the decode must agree
+    with a post-hoc exists() filter over a full decode."""
+    from eggopress import decode
+
+    df = decode.decode_table(spark, table, token_range=(40000, 40200),
+                             columns=["doc_id", "source"])
+    plan = _formatted(df)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "tok_max" in pushed and "tok_min" in pushed
+    assert df.columns == ["doc_id", "source"]
+
+    full = (decode.decode_table(spark, table)
+            .filter(F.expr("exists(tokens, t -> t >= 40000 and t <= 40200)"))
+            .select("doc_id", "source"))
+    assert df.exceptAll(full).count() == 0
+    assert full.exceptAll(df).count() == 0
+    assert df.count() > 0
