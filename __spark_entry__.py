@@ -159,7 +159,7 @@ def _q_token_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eggopress import decode
 
     path = _roundtrip_table(spark, sf_dir)
-    return decode.decode_table(spark, path, token_range=(40000, 40200),
+    return decode.decode_table(spark, path, token_range=(13090, 13103),
                                columns=["doc_id", "n_tok", "source"])
 
 
@@ -639,7 +639,7 @@ def oracle_sql() -> dict[str, str]:
                    source
             FROM documents
             WHERE len(list_filter({textstats.TOKENS_DUCK},
-                                  t -> t >= 40000 AND t <= 40200)) > 0
+                                  t -> t >= 13090 AND t <= 13103)) > 0
         """,
         "p4_projected_decode": f"""
             SELECT concat(source, '-', lpad(cast(doc_id as varchar), 10, '0')) AS doc_id,
