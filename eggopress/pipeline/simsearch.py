@@ -169,16 +169,25 @@ def ivf_topk(df: DataFrame, query_vec, k: int = 10, *,
     table; n_cells scales as ~sqrt(n) (classic IVF sizing) and the
     centroid table stays broadcast-size (n_cells * dim floats).
 
-    Assignment ties break on the smaller cell id (row_number ordering), so
-    results are deterministic in both dialects.
+    Assignment ties break on the smaller cell id (array_position finds
+    the FIRST max), so results are deterministic in both dialects.
 
     The quantizer is validated, not trusted: on a table whose vec_ids are
     sparse / offset / non-contiguous the vec_id<n_cells sample can yield
-    fewer (even zero) centroids, and a zero-centroid assignment join would
-    silently return an EMPTY result — so a short centroid set raises. The
-    centroids are collected once (n_cells rows — broadcast-sized by
-    construction) and reused for both the assignment join and the probe
-    ranking, instead of re-scanning the table for each."""
+    fewer (even zero) centroids, and a zero-centroid assignment would
+    silently return an EMPTY result — so a short centroid set raises.
+
+    Plan shape: the centroids are collected ONCE (n_cells rows —
+    driver-literal-sized by construction) and inlined as LITERAL vectors,
+    which turns cell assignment into a pure narrow projection — per row,
+    an array of n_cells cosines, argmax by array_position. No join, no
+    window, NO SHUFFLE anywhere in the assignment (the previous plan
+    broadcast-joined the centroid table and ranked with a row_number
+    window, which shuffled every (vector, centroid) score pair on
+    vec_id). Probe selection is driver-side over the same collected
+    centroids; the final top-k is a TakeOrdered. At 100 TB the cell id
+    this projection computes is the partition/bucket key — assignment is
+    embarrassingly parallel and a query's scan prunes to nprobe cells."""
     cent_rows = (
         df.filter(F.col("vec_id") < n_cells)
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
@@ -190,29 +199,46 @@ def ivf_topk(df: DataFrame, query_vec, k: int = 10, *,
             f"{n_cells} centroid rows exist (vec_ids sparse or offset?); "
             "pick centroids by rank over the table's actual ids instead"
         )
-    spark = df.sparkSession
-    cent = spark.createDataFrame(
-        [(int(r["cid"]), [float(x) for x in r["cemb"]]) for r in cent_rows],
-        "cid bigint, cemb array<double>",
-    )
-    cos_vc = _cos_spark(EMB_D_SPARK, "cast(cemb as array<double>)")
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("vec_id").orderBy(F.desc("_ccos"), F.asc("cid"))
-    assigned = (
-        df.join(F.broadcast(cent))
-        .withColumn("_ccos", F.expr(cos_vc))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "embedding", "cid")
-    )
-    q = _vec_lit_spark(query_vec)
-    qcos = _cos_spark("cast(cemb as array<double>)", q)
-    probe = [
-        r["cid"]
-        for r in cent.select("cid", F.expr(qcos).alias("qc"))
-        .orderBy(F.desc("qc"), F.asc("cid")).limit(nprobe).collect()
+    cents = {int(r["cid"]): [float(x) for x in r["cemb"]] for r in cent_rows}
+    cids = sorted(cents)
+    cell_cos = [
+        _cos_spark(EMB_D_SPARK, _vec_lit_spark(cents[cid])) for cid in cids
     ]
+    # stage the cosine array in its own projection (referenced twice:
+    # max + position) so CollapseProject cannot duplicate the folds
+    assigned = (
+        df.select("vec_id", "embedding",
+                  F.expr("array(" + ", ".join(cell_cos) + ")").alias("_ccos"))
+        .select(
+            "vec_id", "embedding",
+            F.expr(
+                "element_at(array(" + ",".join(str(c) for c in cids) + "), "
+                "cast(array_position(_ccos, array_max(_ccos)) as int))"
+            ).alias("cid"),
+        )
+    )
+    import math
+
+    def _seq_cos(a, b):
+        # SEQUENTIAL left folds — bit-identical to the SQL
+        # aggregate()/list_reduce() evaluation order both engines use
+        # (numpy's pairwise summation would differ in the last ulp and
+        # could flip a probe ranking the oracle resolves the other way)
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        return round(dot / (math.sqrt(na) * math.sqrt(nb)), 6)
+
+    q = _vec_lit_spark(query_vec)
+    qv = [float(x) for x in query_vec]
+    # probe ranking driver-side over the collected centroids, same
+    # (cos desc, cid asc) ordering as the oracle's probe CTE
+    qcos = {cid: _seq_cos(cents[cid], qv) for cid in cids}
+    probe = sorted(cids, key=lambda c: (-qcos[c], c))[:nprobe]
     return (
         assigned.filter(F.col("cid").isin(probe))
         .select("vec_id", F.expr(_cos_spark(EMB_D_SPARK, q)).alias("cos"))

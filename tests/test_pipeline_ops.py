@@ -436,3 +436,40 @@ def test_knn_join_bucketed_subset_of_exact(spark, embs):
     recall = len({(r.q_id, r.vec_id) for r in approx} & set(exact)) / len(exact)
     print(f"bucketed knn recall vs exact top-{k}: {recall:.3f}")
     assert recall >= 1 / k  # self-retrieval alone guarantees this floor
+
+
+def test_dim_groups_matches_per_image_reference():
+    """Pure-numpy property check (no Spark): the grouped stacked-gather
+    path must reproduce exactly what a per-image np.frombuffer reshape
+    sees, for every row, across mixed dims and group orders."""
+    import numpy as np
+    import pandas as pd
+
+    from eggopress.pipeline.multimodal import _dim_groups
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(200):
+        w, h, fr = int(rng.integers(1, 9)), int(rng.integers(1, 7)), int(rng.integers(1, 4))
+        payload = rng.integers(0, 256, size=fr * h * w, dtype=np.uint8)
+        rows.append((i, payload.tobytes(), w, h, fr))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "payload", "width", "height", "n_frames"])
+
+    seen = np.zeros(len(pdf), dtype=bool)
+    for grp, gw, gh, gf, stacked in _dim_groups(pdf):
+        assert stacked.shape == (len(grp), gf, gh, gw)
+        for j, i_row in enumerate(grp):
+            ref = np.frombuffer(pdf["payload"].iloc[i_row], dtype=np.uint8).reshape(
+                pdf["n_frames"].iloc[i_row], pdf["height"].iloc[i_row], pdf["width"].iloc[i_row])
+            assert np.array_equal(stacked[j], ref)
+            assert not seen[i_row]
+            seen[i_row] = True
+    assert seen.all(), "every row must appear in exactly one group"
+
+    # corrupted meta (payload length disagrees) fails loudly
+    import pytest as _pytest
+
+    bad = pdf.copy()
+    bad.loc[0, "width"] = bad["width"].iloc[0] + 1
+    with _pytest.raises(ValueError, match="disagrees"):
+        list(_dim_groups(bad))

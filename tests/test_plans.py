@@ -136,17 +136,22 @@ def test_neardup_banded_join_is_key_equi(spark):
     assert "bucket" in plan
 
 
-def test_ivf_quantizer_join_is_broadcast(spark):
-    """The IVF coarse-assignment scores every vector against all n_cells
-    centroids — the right plan is a BROADCAST of the tiny centroid table
-    (no shuffle of the big side for the quantizer)."""
+def test_ivf_assignment_is_shuffle_free(spark):
+    """IVF cell assignment inlines the collected centroid vectors as
+    literals, making the quantizer a pure narrow projection: the final
+    plan has NO join, NO window, and NO exchange — the only 'gather' is
+    the TakeOrdered top-k. (The previous plan broadcast-joined the
+    centroid table and ranked with a row_number window, shuffling every
+    (vector, centroid) score pair.)"""
     from eggopress.pipeline import simsearch
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     q = [0.1] * 64
     plan = _formatted(simsearch.ivf_topk(emb, q, 5))
-    assert "Broadcast" in plan, "centroid table must broadcast"
-    assert "SortMergeJoin" not in plan, "quantizer must not shuffle the big side"
+    assert "Join" not in plan, "assignment must not join"
+    assert "Window" not in plan, "assignment must not rank via window"
+    assert "Exchange" not in plan, "assignment must not shuffle"
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_predicate_decode_pushes_stats_filter(spark, table):
