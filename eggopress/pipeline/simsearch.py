@@ -462,8 +462,25 @@ def knn_join_bucketed(df: DataFrame, queries: DataFrame, k: int = 10, *,
     (exact SQL oracle in knn_join_bucketed_oracle)."""
     exprs = _neardup_bucket_exprs(dim, n_bands, bits_per_band, "spark")
     bucket_arr = F.explode(F.array(*[F.expr(e) for e in exprs])).alias("bucket")
-    cb = df.select("vec_id", bucket_arr)
-    qb = queries.select("q_id", bucket_arr)
+
+    def _checked(side: DataFrame, what: str) -> DataFrame:
+        # a dim mismatch makes zip_with pad with nulls and collapses every
+        # band key to one constant — silently degrading the bucket join
+        # toward a cross product — so it raises instead (same contract as
+        # cosine_neardup)
+        return side.filter(
+            F.when(F.size("embedding") == dim, F.lit(True)).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"knn_join_bucketed: {what} dim mismatch: expected {dim}, got "),
+                        F.size("embedding").cast("string"),
+                    )
+                ).cast("boolean")
+            )
+        )
+
+    cb = _checked(df, "corpus").select("vec_id", bucket_arr)
+    qb = _checked(queries, "query").select("q_id", bucket_arr)
     cand = qb.join(cb, "bucket").select("q_id", "vec_id").distinct()
     scored = (
         cand.join(df.select("vec_id", "embedding"), "vec_id")

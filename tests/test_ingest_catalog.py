@@ -188,3 +188,33 @@ def test_roundtrip_rejects_duplicate_rows(spark):
     doubled = corpus.unionAll(corpus.limit(5))
     assert verify.roundtrip_ok(corpus, corpus)
     assert not verify.roundtrip_ok(corpus, doubled)
+
+
+def test_cli_no_cluster_and_token_range(spark, tmp_path, capsys):
+    """CLI surfaces for the clustering flag and the token-value
+    predicate: --no-cluster encodes (round-trip intact), decode
+    --token-min/--token-max writes only matching docs in caller column
+    order."""
+    import json as _json
+
+    from eggopress import cli, decode, synth
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "cli_nc_tbl")
+    rc = cli.main(["encode", "--input", "synth:800", "--table", table,
+                   "--partitions", "4", "--no-cluster"], spark=spark)
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows"] == 800
+
+    out = str(tmp_path / "tok_out")
+    rc = cli.main(["decode", "--table", table, "--output", out,
+                   "--token-min", "40000", "--token-max", "41000",
+                   "--columns", "source,doc_id"], spark=spark)
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert got.columns == ["source", "doc_id"]
+    expect = (decode.decode_table(spark, table)
+              .filter(F.expr("exists(tokens, t -> t >= 40000 and t <= 41000)"))
+              .count())
+    assert got.count() == expect and expect > 0
