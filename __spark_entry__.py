@@ -384,6 +384,38 @@ def _q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_FRACTIONS = {"src1": 0.5, "src2": 0.25, "src3": 0.0}
+
+
+def _q_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source downsampling (domain mixing) rollup:
+    content-stable hash-threshold keep/drop, no sample()."""
+    from eggopress.pipeline import textstats
+
+    corpus = textstats.tokenize(_t(spark, sf_dir, "documents"))
+    return textstats.sample_corpus(corpus, SAMPLE_FRACTIONS, default=1.0).groupBy(
+        "source"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_tok").cast("long")).alias("n_tok_sum"),
+    )
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing (concat+chunk into ctx-token training
+    sequences): per-(source, pack) rollup of the window prefix-sum
+    assignment."""
+    from eggopress.pipeline import textstats
+
+    corpus = textstats.tokenize(_t(spark, sf_dir, "documents"))
+    return textstats.pack_sequences(corpus, ctx=256).groupBy(
+        "source", "pack_id"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_tok").cast("long")).alias("n_tok_sum"),
+    )
+
+
 def _q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary histogram via per-partition bincount partial aggregation."""
     from eggopress.pipeline import textstats
@@ -585,6 +617,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "text_token_histogram": _q_token_histogram,
         "text_train_split": _q_train_split,
+        "text_source_sample": _q_source_sample,
+        "text_pack_sequences": _q_pack_sequences,
         "multimodal_features": _q_multimodal,
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frame_sample": _q_multimodal_frames,
@@ -715,6 +749,16 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             GROUP BY 1
         """,
+        "text_source_sample": f"""
+            SELECT source, count(*) AS n_docs,
+                   cast(sum(len({textstats.WORDS_DUCK})) as bigint) AS n_tok_sum
+            FROM (SELECT source, text,
+                         concat(source, '-', lpad(cast(doc_id as varchar), 10, '0')) AS doc_id
+                  FROM documents)
+            WHERE {textstats.sample_corpus_where_duck(SAMPLE_FRACTIONS, 1.0)}
+            GROUP BY source
+        """,
+        "text_pack_sequences": textstats.pack_rollup_oracle(256),
         "multimodal_features": multimodal.FEATURES_ORACLE,
         "multimodal_resize": multimodal.resize_oracle(8, 6),
         "multimodal_frame_sample": multimodal.sample_frames_oracle(2),

@@ -260,3 +260,79 @@ def train_split_case_duck(fractions: tuple[tuple[str, float], ...] = (
         lo += int(round(frac * buckets))
         expr += f" WHEN {h32_duck('doc_id')} % {buckets} < {lo} THEN '{name}'"
     return expr + f" ELSE '{fractions[-1][0]}' END"
+
+
+def sample_corpus(corpus: DataFrame, fractions: dict[str, float],
+                  default: float = 1.0, buckets: int = 10_000) -> DataFrame:
+    """Deterministic per-source downsampling — the domain-mixing step of
+    a training-data pipeline (e.g. keep 10% of crawl, 100% of wiki).
+    A doc survives iff h32(doc_id) % buckets < frac(source) * buckets:
+    content-stable like train_split (same doc kept on any run / cluster
+    shape / row order; adding data never flips existing docs), a pure
+    projection filter with no shuffle, no UDF, no sample()
+    nondeterminism. Filters compose with Catalyst pushdown like any
+    other predicate."""
+    for src, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction out of [0,1] for {src!r}: {f}")
+    if not 0.0 <= default <= 1.0:
+        raise ValueError(f"default fraction out of [0,1]: {default}")
+    case = "CASE source"
+    for src in sorted(fractions):
+        case += f" WHEN '{src}' THEN {int(round(fractions[src] * buckets))}"
+    case += f" ELSE {int(round(default * buckets))} END"
+    return corpus.filter(F.expr(f"{h32_spark('doc_id')} % {buckets} < {case}"))
+
+
+def sample_corpus_where_duck(fractions: dict[str, float],
+                             default: float = 1.0,
+                             buckets: int = 10_000) -> str:
+    case = "CASE source"
+    for src in sorted(fractions):
+        case += f" WHEN '{src}' THEN {int(round(fractions[src] * buckets))}"
+    case += f" ELSE {int(round(default * buckets))} END"
+    return f"{h32_duck('doc_id')} % {buckets} < {case}"
+
+
+def pack_sequences(corpus: DataFrame, ctx: int = 2048) -> DataFrame:
+    """Contiguous sequence packing — the concat-then-chunk step that
+    turns variable-length documents into fixed ctx-token training
+    sequences: within each source, docs concatenate in doc_id order and
+    the stream is cut every ctx tokens. Adds (pack_id, pack_off): the
+    sequence a doc STARTS in and its token offset inside it (docs may
+    straddle a boundary, exactly like the real concat+chunk pipeline).
+
+    Deterministic by construction (doc_id order). Plan shape: one
+    shuffle — a per-source window prefix-sum. At 100 TB, range-partition
+    by (source, doc_id) and the window becomes a per-partition prefix
+    sum plus one tiny per-partition-offset broadcast (the classic
+    two-pass scan); the operator semantics and output are unchanged."""
+    from pyspark.sql.window import Window
+
+    if ctx <= 0:
+        raise ValueError(f"ctx must be positive: {ctx}")
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prev = F.coalesce(F.sum(F.col("n_tok").cast("long")).over(w), F.lit(0))
+    return (
+        corpus.withColumn("pack_id", F.floor(prev / ctx).cast("int"))
+        .withColumn("pack_off", (prev % ctx).cast("int"))
+    )
+
+
+def pack_rollup_oracle(ctx: int = 2048) -> str:
+    """Per-(source, pack) doc/token rollup over the packed corpus."""
+    return f"""
+SELECT source, cast(floor(prev / {ctx}) as int) AS pack_id,
+       count(*) AS n_docs, cast(sum(n_tok) as bigint) AS n_tok_sum
+FROM (
+  SELECT source, n_tok,
+         coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM (SELECT source,
+               concat(source, '-', lpad(cast(doc_id as varchar), 10, '0')) AS doc_id,
+               len({WORDS_DUCK}) AS n_tok
+        FROM documents)
+)
+GROUP BY 1, 2
+"""

@@ -473,3 +473,48 @@ def test_dim_groups_matches_per_image_reference():
     bad.loc[0, "width"] = bad["width"].iloc[0] + 1
     with _pytest.raises(ValueError, match="disagrees"):
         list(_dim_groups(bad))
+
+
+def test_sample_corpus_deterministic_and_proportional(spark, docs):
+    from eggopress.pipeline import textstats
+
+    corpus = textstats.tokenize(docs)
+    frac = {"src1": 0.5, "src2": 0.0}
+    s1 = textstats.sample_corpus(corpus, frac)
+    s2 = textstats.sample_corpus(corpus.orderBy(F.desc("doc_id")), frac)
+    # content-stable: identical keep-set regardless of row order
+    assert {r["doc_id"] for r in s1.select("doc_id").collect()} == \
+           {r["doc_id"] for r in s2.select("doc_id").collect()}
+    per = {r["source"]: r["n"] for r in
+           s1.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    full = {r["source"]: r["n"] for r in
+            corpus.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert "src2" not in per                      # fraction 0 drops all
+    assert per["src1"] < full["src1"]             # fraction 0.5 drops some
+    assert per["src3"] == full["src3"]            # default 1.0 keeps all
+    with pytest.raises(ValueError):
+        textstats.sample_corpus(corpus, {"src1": 1.5})
+
+
+def test_pack_sequences_invariants(spark, docs):
+    """Packing = concat-then-chunk: offsets stay inside the context
+    window, pack ids are the exact prefix-sum quotients, and totals are
+    preserved (packing moves no rows)."""
+    from eggopress.pipeline import textstats
+
+    corpus = textstats.tokenize(docs)
+    ctx = 256
+    packed = textstats.pack_sequences(corpus, ctx=ctx)
+    assert packed.count() == corpus.count()
+    assert packed.filter((F.col("pack_off") < 0) | (F.col("pack_off") >= ctx)).count() == 0
+    # per-source reference check against a driver-side sequential pass
+    rows = packed.select("source", "doc_id", "n_tok", "pack_id", "pack_off") \
+                 .orderBy("source", "doc_id").collect()
+    prev_by_src: dict = {}
+    for r in rows:
+        prev = prev_by_src.get(r["source"], 0)
+        assert r["pack_id"] == prev // ctx, r
+        assert r["pack_off"] == prev % ctx, r
+        prev_by_src[r["source"]] = prev + r["n_tok"]
+    with pytest.raises(ValueError):
+        textstats.pack_sequences(corpus, ctx=0)
