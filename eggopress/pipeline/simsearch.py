@@ -301,6 +301,52 @@ def _neardup_bucket_exprs(dim: int, n_bands: int, bits: int, dialect: str) -> li
     return out
 
 
+def _banded_buckets_arrow(df: DataFrame, id_col: str, dim: int,
+                          n_bands: int, bits: int) -> DataFrame:
+    """(id, bucket) band keys via one Arrow-vectorized pass — numerically
+    IDENTICAL to the SQL-expression path (_neardup_bucket_exprs) but
+    ~5-10x faster: Spark's higher-order aggregate() lambdas are
+    interpreted per element, while here each hyperplane dot product is a
+    float64 accumulation SEQUENTIAL over dimensions (the exact IEEE
+    op order of the SQL fold — numpy's pairwise matmul summation would
+    differ in the last ulp and could flip a sign at a margin) and
+    vectorized across rows. Parity with the SQL path is pinned by
+    tests/test_pipeline_ops.py::test_banded_buckets_arrow_matches_sql.
+
+    Raises on a dim mismatch (a ragged/wrong-width embedding would
+    otherwise collapse band keys, degrading the bucket join)."""
+    planes = _planes_n(n_bands * bits, dim)  # (P, dim) float64
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            rows = pdf["embedding"].to_list()
+            if any(len(r) != dim for r in rows):
+                bad = next(len(r) for r in rows if len(r) != dim)
+                raise ValueError(
+                    f"banded buckets: dim mismatch: expected {dim}, got {bad}")
+            m = np.asarray(np.stack(rows), dtype=np.float64)  # exact f32->f64
+            dots = np.zeros((n, planes.shape[0]), dtype=np.float64)
+            for i in range(dim):  # sequential over dims == the SQL fold
+                dots += m[:, i, None] * planes[None, :, i]
+            sign = dots > 0
+            weights = (1 << np.arange(bits, dtype=np.int64))
+            keys = (
+                sign.reshape(n, n_bands, bits).astype(np.int64) * weights
+            ).sum(axis=2)
+            ids = np.repeat(pdf[id_col].to_numpy(), n_bands)
+            bands = np.tile(np.arange(n_bands), n)
+            buckets = [f"{b}:{k}" for b, k in zip(bands, keys.reshape(-1))]
+            yield pd.DataFrame({id_col: ids, "bucket": buckets})
+
+    return df.select(id_col, "embedding").mapInPandas(
+        fn, f"{id_col} long, bucket string")
+
+
 def auto_bits_per_band(n_rows: int, target_bucket_rows: int = 64) -> int:
     """The documented banding policy made executable: bits_per_band =
     log2(n / target_bucket_rows), clamped to [1, 24]. At n=1e10 docs and
@@ -338,20 +384,9 @@ def cosine_neardup(df: DataFrame, threshold: float = 0.95, *, dim: int = 64,
     """
     if bits_per_band == "auto":
         bits_per_band = auto_bits_per_band(df.count(), target_bucket_rows)
-    exprs = _neardup_bucket_exprs(dim, n_bands, int(bits_per_band), "spark")
-    checked = df.filter(
-        F.when(F.size("embedding") == dim, F.lit(True)).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(f"cosine_neardup: dim mismatch: expected {dim}, got "),
-                    F.size("embedding").cast("string"),
-                )
-            ).cast("boolean")
-        )
-    )
-    banded = checked.select(
-        "vec_id", F.explode(F.array(*[F.expr(e) for e in exprs])).alias("bucket")
-    )
+    # Arrow-vectorized band keys (bit-identical to the SQL exprs the
+    # DuckDB oracle evaluates — parity-pinned; raises on dim mismatch)
+    banded = _banded_buckets_arrow(df, "vec_id", dim, n_bands, int(bits_per_band))
     banded = _shed_big_buckets(banded, max_bucket_rows, "cosine_neardup")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -460,27 +495,11 @@ def knn_join_bucketed(df: DataFrame, queries: DataFrame, k: int = 10, *,
     in cosine_neardup; a query vector always collides with itself, so
     self-retrieval is certain. Deterministic given the seeded planes
     (exact SQL oracle in knn_join_bucketed_oracle)."""
-    exprs = _neardup_bucket_exprs(dim, n_bands, bits_per_band, "spark")
-    bucket_arr = F.explode(F.array(*[F.expr(e) for e in exprs])).alias("bucket")
-
-    def _checked(side: DataFrame, what: str) -> DataFrame:
-        # a dim mismatch makes zip_with pad with nulls and collapses every
-        # band key to one constant — silently degrading the bucket join
-        # toward a cross product — so it raises instead (same contract as
-        # cosine_neardup)
-        return side.filter(
-            F.when(F.size("embedding") == dim, F.lit(True)).otherwise(
-                F.raise_error(
-                    F.concat(
-                        F.lit(f"knn_join_bucketed: {what} dim mismatch: expected {dim}, got "),
-                        F.size("embedding").cast("string"),
-                    )
-                ).cast("boolean")
-            )
-        )
-
-    cb = _checked(df, "corpus").select("vec_id", bucket_arr)
-    qb = _checked(queries, "query").select("q_id", bucket_arr)
+    # Arrow-vectorized band keys (bit-identical to the SQL-expression
+    # path, parity-pinned; raises on a dim mismatch that would collapse
+    # band keys and degrade the bucket join toward a cross product)
+    cb = _banded_buckets_arrow(df, "vec_id", dim, n_bands, bits_per_band)
+    qb = _banded_buckets_arrow(queries, "q_id", dim, n_bands, bits_per_band)
     cand = qb.join(cb, "bucket").select("q_id", "vec_id").distinct()
     scored = (
         cand.join(df.select("vec_id", "embedding"), "vec_id")

@@ -518,3 +518,20 @@ def test_pack_sequences_invariants(spark, docs):
         prev_by_src[r["source"]] = prev + r["n_tok"]
     with pytest.raises(ValueError):
         textstats.pack_sequences(corpus, ctx=0)
+
+
+def test_banded_buckets_arrow_matches_sql(spark, embs):
+    """The Arrow-vectorized band-key generator must reproduce the SQL
+    expression path EXACTLY — same (id, bucket) multiset. Sign decisions
+    sit on float comparisons, so this pins the sequential-fold float
+    semantics, not just the algorithm."""
+    from eggopress.pipeline import simsearch
+
+    exprs = simsearch._neardup_bucket_exprs(64, 16, 4, "spark")
+    sql = {(r["vec_id"], r["bucket"]) for r in embs.select(
+        "vec_id",
+        F.explode(F.array(*[F.expr(e) for e in exprs])).alias("bucket"),
+    ).collect()}
+    arrow = {(r["vec_id"], r["bucket"]) for r in
+             simsearch._banded_buckets_arrow(embs, "vec_id", 64, 16, 4).collect()}
+    assert sql == arrow and len(arrow) == embs.count() * 16
