@@ -347,6 +347,46 @@ def _banded_buckets_arrow(df: DataFrame, id_col: str, dim: int,
         fn, f"{id_col} long, bucket string")
 
 
+def _pair_cos_raw(joined: DataFrame, id_a: str, id_b: str,
+                  a_col: str, b_col: str, dim: int) -> DataFrame:
+    """(id_a, id_b, cos) with the UNROUNDED cosine, computed in one Arrow
+    pass: every dot product is a float64 accumulation sequential over
+    dimensions (the SQL fold's exact IEEE op order) and vectorized across
+    pairs — the interpreted per-element aggregate() lambdas this replaces
+    dominate verification time once candidates number in the millions.
+    Callers apply Spark's round(cos, 6) so the decimal rounding is the
+    JVM's own (numpy's scaled-rint rounding can differ in the last
+    printed digit)."""
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.asarray(np.stack(pdf[a_col].to_list()), dtype=np.float64)
+            b = np.asarray(np.stack(pdf[b_col].to_list()), dtype=np.float64)
+            if a.shape[1] != dim or b.shape[1] != dim:
+                raise ValueError(
+                    f"pair cosine: dim mismatch: expected {dim}, got "
+                    f"{a.shape[1]}/{b.shape[1]}")
+            dot = np.zeros(len(pdf), dtype=np.float64)
+            na = np.zeros(len(pdf), dtype=np.float64)
+            nb = np.zeros(len(pdf), dtype=np.float64)
+            for i in range(dim):  # sequential over dims == the SQL fold
+                dot += a[:, i] * b[:, i]
+                na += a[:, i] * a[:, i]
+                nb += b[:, i] * b[:, i]
+            yield pd.DataFrame({
+                id_a: pdf[id_a],
+                id_b: pdf[id_b],
+                "cos": dot / (np.sqrt(na) * np.sqrt(nb)),
+            })
+
+    return joined.select(id_a, id_b, a_col, b_col).mapInPandas(
+        fn, f"{id_a} long, {id_b} long, cos double")
+
+
 def auto_bits_per_band(n_rows: int, target_bucket_rows: int = 64) -> int:
     """The documented banding policy made executable: bits_per_band =
     log2(n / target_bucket_rows), clamped to [1, 24]. At n=1e10 docs and
@@ -395,11 +435,13 @@ def cosine_neardup(df: DataFrame, threshold: float = 0.95, *, dim: int = 64,
         .distinct()
     )
     emb = df.select("vec_id", "embedding")
-    cos = _cos_spark("cast(emb_a as array<double>)", "cast(emb_b as array<double>)")
-    return (
+    joined = (
         cand.join(emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a")), "id_a")
         .join(emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b")), "id_b")
-        .select("id_a", "id_b", F.expr(cos).alias("cos"))
+    )
+    return (
+        _pair_cos_raw(joined, "id_a", "id_b", "emb_a", "emb_b", dim)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
 
@@ -501,13 +543,13 @@ def knn_join_bucketed(df: DataFrame, queries: DataFrame, k: int = 10, *,
     cb = _banded_buckets_arrow(df, "vec_id", dim, n_bands, bits_per_band)
     qb = _banded_buckets_arrow(queries, "q_id", dim, n_bands, bits_per_band)
     cand = qb.join(cb, "bucket").select("q_id", "vec_id").distinct()
-    scored = (
+    joined = (
         cand.join(df.select("vec_id", "embedding"), "vec_id")
         .join(queries.select("q_id", F.col("embedding").alias("q_emb")), "q_id")
-        .select(
-            "q_id", "vec_id",
-            F.expr(_cos_spark(EMB_D_SPARK, "cast(q_emb as array<double>)")).alias("cos"),
-        )
+    )
+    scored = (
+        _pair_cos_raw(joined, "q_id", "vec_id", "q_emb", "embedding", dim)
+        .select("q_id", "vec_id", F.round("cos", 6).alias("cos"))
     )
     return _rank_topk(scored, k, prefilter=True)
 
