@@ -147,6 +147,8 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
             "ann_brute_topk",
             "ann_ivf_topk",
             "ann_knn_join",
+            "ann_knn_join_bucketed",
+            "text_pack_sequences",
             "multimodal_resize",
             "text_token_counts",
             "text_token_histogram",
