@@ -423,6 +423,16 @@ def _q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_histogram(textstats.tokenize(_t(spark, sf_dir, "documents")))
 
 
+def _q_token_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-counting distinct-token sketch: bounded-shuffle cardinality
+    estimation with a deterministic (md5-bucket) hash, so the estimate
+    itself is oracle-checkable — unlike engine-internal HLL."""
+    from eggopress.pipeline import textstats
+
+    return textstats.token_cardinality(
+        textstats.tokenize(_t(spark, sf_dir, "documents")), m=64)
+
+
 def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eggopress.pipeline import simsearch
 
@@ -619,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_train_split": _q_train_split,
         "text_source_sample": _q_source_sample,
         "text_pack_sequences": _q_pack_sequences,
+        "text_token_cardinality": _q_token_cardinality,
         "multimodal_features": _q_multimodal,
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frame_sample": _q_multimodal_frames,
@@ -759,6 +770,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY source
         """,
         "text_pack_sequences": textstats.pack_rollup_oracle(256),
+        "text_token_cardinality": textstats.token_cardinality_oracle(64),
         "multimodal_features": multimodal.FEATURES_ORACLE,
         "multimodal_resize": multimodal.resize_oracle(8, 6),
         "multimodal_frame_sample": multimodal.sample_frames_oracle(2),

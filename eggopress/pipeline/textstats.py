@@ -336,3 +336,47 @@ FROM (
 )
 GROUP BY 1, 2
 """
+
+
+def token_cardinality(corpus: DataFrame, m: int = 4096) -> DataFrame:
+    """Per-source distinct-token cardinality SKETCH (linear counting):
+    hash every token occurrence into one of m buckets, count occupied
+    buckets, estimate distinct = -m * ln(1 - occupied/m).
+
+    The scale shape is the point: exact count-distinct shuffles one row
+    per distinct value; here the in-stage explode never leaves its
+    partition — map-side partial distinct collapses the (source, bucket)
+    pairs before the exchange, so the shuffle carries at most
+    partitions x sources x m rows no matter the corpus size (the same
+    bounded-shuffle discipline as token_histogram). m trades accuracy
+    for state: the standard error is ~ sqrt(m)*(e^(n/m)-n/m-1)/n. The
+    estimate is a deterministic function of content (md5-bucket hash),
+    so it has an exact SQL oracle — unlike approx_count_distinct's
+    engine-internal HLL."""
+    if m <= 0:
+        raise ValueError(f"m must be positive: {m}")
+    occ = (
+        corpus.select("source", F.explode("tokens").alias("t"))
+        .select("source", F.expr(f"pmod({h32_spark('cast(t as string)')}, {m})").alias("b"))
+        .distinct()
+        .groupBy("source")
+        .agg(F.count("*").alias("occupied"))
+    )
+    return occ.select(
+        "source", "occupied",
+        F.round(-float(m) * F.log(1.0 - F.col("occupied") / float(m)), 6)
+        .alias("est_distinct"),
+    )
+
+
+def token_cardinality_oracle(m: int = 4096) -> str:
+    h = h32_duck("cast(t as varchar)")
+    return f"""
+SELECT source, occupied,
+       round(-{float(m)} * ln(1.0 - occupied / {float(m)}), 6) AS est_distinct
+FROM (
+  SELECT source, count(DISTINCT {h} % {m}) AS occupied
+  FROM (SELECT source, unnest({TOKENS_DUCK}) AS t FROM documents)
+  GROUP BY source
+)
+"""

@@ -535,3 +535,25 @@ def test_banded_buckets_arrow_matches_sql(spark, embs):
     arrow = {(r["vec_id"], r["bucket"]) for r in
              simsearch._banded_buckets_arrow(embs, "vec_id", 64, 16, 4).collect()}
     assert sql == arrow and len(arrow) == embs.count() * 16
+
+
+def test_token_cardinality_sketch_tracks_exact(spark, docs):
+    """Linear counting must (a) bound its shuffle inputs by m, (b) land
+    near the exact distinct count at sane loads, (c) saturate gracefully
+    rather than divide by zero."""
+    from eggopress.pipeline import textstats
+
+    corpus = textstats.tokenize(docs)
+    est = {r["source"]: r for r in
+           textstats.token_cardinality(corpus, m=256).collect()}
+    exact = {r["source"]: r["n"] for r in
+             corpus.select("source", F.explode("tokens").alias("t"))
+             .groupBy("source").agg(F.countDistinct("t").alias("n")).collect()}
+    assert set(est) == set(exact)
+    for src, row in est.items():
+        assert row["occupied"] <= min(256, exact[src])
+        # light load (28-token vocab into 256 buckets): within 20%
+        assert abs(row["est_distinct"] - exact[src]) <= max(2, 0.2 * exact[src]), (
+            src, row["est_distinct"], exact[src])
+    with pytest.raises(ValueError):
+        textstats.token_cardinality(corpus, m=0)
