@@ -24,6 +24,11 @@ import shutil
 import time
 
 
+class CommitConflict(RuntimeError):
+    """Another writer committed the same next version first (optimistic
+    concurrency loss). Re-read the snapshot and retry the commit."""
+
+
 class Table:
     def __init__(self, path: str):
         self.path = os.path.abspath(path)
@@ -39,11 +44,25 @@ class Table:
     # ---------------------------------------------------------- snapshots
 
     def current_version(self) -> int:
-        hint = os.path.join(self.meta_dir, "version-hint.txt")
-        if not os.path.exists(hint):
-            return 0
-        with open(hint) as f:
-            return int(f.read().strip())
+        """Max of the hint and the metadata files actually present: the
+        metadata FILE is the commit (Iceberg semantics) — a writer that
+        crashed between linking v<N+1> and swapping the hint has still
+        committed, and treating the hint alone as truth would wedge every
+        later commit on a permanent version collision."""
+        hint_path = os.path.join(self.meta_dir, "version-hint.txt")
+        hint = 0
+        if os.path.exists(hint_path):
+            with open(hint_path) as f:
+                hint = int(f.read().strip())
+        latest = hint
+        if os.path.isdir(self.meta_dir):
+            for f in os.listdir(self.meta_dir):
+                if f.startswith("v") and f.endswith(".metadata.json"):
+                    try:
+                        latest = max(latest, int(f[1:].split(".")[0]))
+                    except ValueError:
+                        continue
+        return latest
 
     def snapshot(self) -> dict | None:
         v = self.current_version()
@@ -53,18 +72,34 @@ class Table:
             return json.load(f)
 
     def commit_snapshot(self, snapshot: dict) -> int:
-        """Write v<N+1> metadata then atomically swap the version pointer."""
+        """Write v<N+1> metadata then atomically swap the version pointer.
+
+        Optimistic concurrency (the Iceberg commit discipline): the new
+        metadata file is LINKED into place, which fails if v<N+1> already
+        exists — so of two writers that both read version N, exactly one
+        commits and the other gets CommitConflict instead of silently
+        clobbering the winner's snapshot (whose data files the loser's
+        metadata would misdescribe). Retry = re-read the snapshot, re-derive,
+        re-commit — the same loop every Iceberg writer runs."""
         os.makedirs(self.meta_dir, exist_ok=True)
         v = self.current_version() + 1
         snapshot = dict(snapshot)
         snapshot["version"] = v
         snapshot["committed_at_ms"] = int(time.time() * 1000)
         meta_path = os.path.join(self.meta_dir, f"v{v}.metadata.json")
-        tmp = meta_path + ".tmp"
+        tmp = meta_path + f".tmp.{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump(snapshot, f, indent=1)
-        os.replace(tmp, meta_path)
-        hint_tmp = os.path.join(self.meta_dir, "version-hint.txt.tmp")
+        try:
+            os.link(tmp, meta_path)  # atomic fail-if-exists
+        except FileExistsError:
+            raise CommitConflict(
+                f"concurrent commit: {meta_path} already exists (another "
+                f"writer committed v{v} first); re-read the snapshot and retry"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        hint_tmp = os.path.join(self.meta_dir, f"version-hint.txt.tmp.{os.getpid()}")
         with open(hint_tmp, "w") as f:
             f.write(str(v))
         os.replace(hint_tmp, os.path.join(self.meta_dir, "version-hint.txt"))

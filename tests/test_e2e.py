@@ -146,3 +146,37 @@ def test_nocluster_encode_roundtrips_and_sizes(spark, corpus, tmp_path):
     nc2 = str(tmp_path / "nc_tbl2")
     s_nc2 = encode.encode_table(spark, corpus, nc2, n_partitions=8, cluster=False)
     assert s_nc2["encoded_bytes"] == s_nc["encoded_bytes"]
+
+
+def test_commit_conflict_and_crash_recovery(tmp_path):
+    """Optimistic-concurrency commit fencing: two writers that both read
+    version N race to v<N+1> — exactly one wins, the loser raises
+    CommitConflict instead of clobbering. And a writer that crashed
+    between metadata link and hint swap has still COMMITTED (the file is
+    the commit): version discovery takes the max of hint and files, so
+    later commits move past it instead of wedging on a collision."""
+    import json as _json
+    from unittest import mock
+
+    from eggopress.tablefmt import CommitConflict, Table
+
+    path = str(tmp_path / "cc_tbl")
+    t1, t2 = Table(path), Table(path)
+    assert t1.commit_snapshot({"stage": "planned"}) == 1
+
+    # loser: stale version read -> collides on v2 after winner commits it
+    assert t1.commit_snapshot({"stage": "encoded"}) == 2
+    with mock.patch.object(Table, "current_version", return_value=1):
+        with pytest.raises(CommitConflict):
+            t2.commit_snapshot({"stage": "encoded"})
+    # winner's snapshot untouched; retry path works after re-read
+    assert t2.snapshot()["stage"] == "encoded"
+    assert t2.commit_snapshot({"stage": "encoded", "retry": True}) == 3
+
+    # crash window: v4 metadata linked but hint never swapped
+    meta = os.path.join(t1.meta_dir, "v4.metadata.json")
+    with open(meta, "w") as f:
+        _json.dump({"stage": "encoded", "version": 4, "crashed": True}, f)
+    assert t1.current_version() == 4
+    assert t1.snapshot()["crashed"] is True
+    assert t1.commit_snapshot({"stage": "encoded"}) == 5
