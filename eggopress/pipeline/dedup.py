@@ -336,22 +336,62 @@ HAVING round(count(*) / cast(a.n_sh + b.n_sh - count(*) as double), 6) >= {thres
 
 # ------------------------------------------------------ MinHash LSH
 
-def minhash_signatures(df: DataFrame) -> DataFrame:
-    # materialize the shingle-hash array ONCE (md5 is the expensive part),
-    # then each of the k permutations is cheap integer arithmetic over it
+def minhash_signatures(df: DataFrame, engine: str = "arrow") -> DataFrame:
+    """(doc_id, mh0..mh{K-1}) MinHash signatures.
+
+    The shingle-hash array is materialized ONCE (md5 is the expensive
+    part); each of the k permutations is then integer arithmetic over
+    it. engine='arrow' (default) runs the k permutations as one
+    vectorized pass — per permutation, (a*h + b) % p over the flat
+    shingle-hash buffer and a segmented min via np.minimum.reduceat —
+    where the SQL path evaluates k interpreted array_min(transform())
+    lambdas per doc. Integer arithmetic is exact in both (products stay
+    under 2^63), so the engines agree bit-for-bit — parity-pinned by
+    test_minhash_arrow_matches_sql; engine='sql' is kept as the
+    cross-check and oracle-shaped variant."""
     hashed = shingle_frame(df).select(
         "doc_id",
         F.expr(f"transform(shingles, s -> {h32_spark('s')})").alias("hs"),
     )
-    return hashed.select(
-        "doc_id",
-        *[
-            F.expr(
-                f"array_min(transform(hs, h -> pmod({MH_A[i]}L * h + {MH_B[i]}L, {MH_P}L)))"
-            ).alias(f"mh{i}")
-            for i in range(MINHASH_K)
-        ],
-    )
+    if engine == "sql":
+        return hashed.select(
+            "doc_id",
+            *[
+                F.expr(
+                    f"array_min(transform(hs, h -> pmod({MH_A[i]}L * h + {MH_B[i]}L, {MH_P}L)))"
+                ).alias(f"mh{i}")
+                for i in range(MINHASH_K)
+            ],
+        )
+
+    def fn(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            lst = batch.column("hs")
+            lens = np.asarray(
+                pc.list_value_length(lst).to_numpy(zero_copy_only=False),
+                dtype=np.int64,
+            )
+            if (lens == 0).any():
+                raise ValueError("minhash: empty shingle array (no words?)")
+            vals = lst.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            cols = [batch.column("doc_id")]
+            for i in range(MINHASH_K):
+                perm = (MH_A[i] * vals + MH_B[i]) % MH_P
+                cols.append(pa.array(np.minimum.reduceat(perm, starts)))
+            yield pa.RecordBatch.from_arrays(
+                cols, names=["doc_id"] + [f"mh{i}" for i in range(MINHASH_K)]
+            )
+
+    id_type = dict(hashed.dtypes)["doc_id"]
+    schema = f"doc_id {id_type}, " + ", ".join(f"mh{i} long" for i in range(MINHASH_K))
+    return hashed.mapInArrow(fn, schema)
 
 
 def minhash_lsh_pairs(df: DataFrame, max_bucket_rows: int | None = None) -> DataFrame:

@@ -557,3 +557,14 @@ def test_token_cardinality_sketch_tracks_exact(spark, docs):
             src, row["est_distinct"], exact[src])
     with pytest.raises(ValueError):
         textstats.token_cardinality(corpus, m=0)
+
+
+def test_minhash_arrow_matches_sql(spark, docs):
+    """Arrow-vectorized MinHash permutations must equal the SQL
+    array_min(transform()) path bit-for-bit (exact int64 arithmetic in
+    both)."""
+    from eggopress.pipeline import dedup
+
+    a = {tuple(r) for r in dedup.minhash_signatures(docs, engine="arrow").collect()}
+    s = {tuple(r) for r in dedup.minhash_signatures(docs, engine="sql").collect()}
+    assert a == s and len(a) == docs.count()
