@@ -449,7 +449,7 @@ FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
 
 # ---------------------------------------------------------- SimHash
 
-def simhash(df: DataFrame) -> DataFrame:
+def simhash(df: DataFrame, engine: str = "arrow") -> DataFrame:
     """64-bit SimHash over word hashes (majority vote per bit).
 
     64 bits (not 32): the band self-join in simhash_pairs buckets on
@@ -468,17 +468,17 @@ def simhash(df: DataFrame) -> DataFrame:
     disjoint powers of two, so their sum never overflows (the positive
     part is <= 2^63-1 and the single negative term only brings it down) —
     identical two's-complement arithmetic in Spark and the DuckDB oracle.
+
+    engine='arrow' (default) runs the 64 per-bit majority votes as one
+    vectorized pass over the flat word-hash buffers (a segmented
+    popcount per bit via np.add.reduceat), where the SQL path evaluates
+    64 interpreted aggregate() lambdas per doc; the fingerprint
+    accumulates in uint64 and reinterprets to int64, the same
+    two's-complement value as the SQL bit sum (exact-integer parity,
+    pinned by test_simhash_arrow_matches_sql). engine='sql' is the
+    cross-check and oracle-shaped variant.
     """
-    bits = []
-    for j in range(64):
-        arr, b = ("_h1", j) if j < 32 else ("_h2", j - 32)
-        val = "shiftleft(1L, 63)" if j == 63 else f"{1 << j}L"
-        bits.append(
-            f"(case when aggregate({arr}, 0L, "
-            f"(acc, h) -> acc + (shiftright(h, {b}) & 1) * 2 - 1) > 0 "
-            f"then {val} else 0L end)"
-        )
-    return (
+    staged = (
         df.select("doc_id", "source",
                   F.expr(f"transform({WORDS_SPARK}, w -> md5(w))").alias("_m"))
         .select(
@@ -486,8 +486,55 @@ def simhash(df: DataFrame) -> DataFrame:
             F.expr("transform(_m, m -> cast(conv(substring(m, 1, 8), 16, 10) as bigint))").alias("_h1"),
             F.expr("transform(_m, m -> cast(conv(substring(m, 9, 8), 16, 10) as bigint))").alias("_h2"),
         )
-        .select("doc_id", F.expr(" + ".join(bits)).alias("simhash"), "source")
     )
+    if engine == "sql":
+        bits = []
+        for j in range(64):
+            arr, b = ("_h1", j) if j < 32 else ("_h2", j - 32)
+            val = "shiftleft(1L, 63)" if j == 63 else f"{1 << j}L"
+            bits.append(
+                f"(case when aggregate({arr}, 0L, "
+                f"(acc, h) -> acc + (shiftright(h, {b}) & 1) * 2 - 1) > 0 "
+                f"then {val} else 0L end)"
+            )
+        return staged.select("doc_id", F.expr(" + ".join(bits)).alias("simhash"), "source")
+
+    def fn(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            lens = np.asarray(
+                pc.list_value_length(batch.column("_h1"))
+                .to_numpy(zero_copy_only=False), dtype=np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            empty = lens == 0
+            fp = np.zeros(n, dtype=np.uint64)
+            for col, base in (("_h1", 0), ("_h2", 32)):
+                vals = (batch.column(col).flatten()
+                        .to_numpy(zero_copy_only=False).astype(np.int64))
+                # sentinel element keeps reduceat's start indices valid
+                # when a trailing doc has zero words; empty segments then
+                # zero out via the mask (reduceat yields a neighbor value
+                # for zero-width segments)
+                vals = np.append(vals, np.int64(0))
+                for b in range(32):
+                    ones = np.add.reduceat((vals >> b) & 1, starts)
+                    ones[empty] = 0
+                    vote = (2 * ones - lens) > 0
+                    fp |= vote.astype(np.uint64) << np.uint64(base + b)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"),
+                 pa.array(fp.view(np.int64)),
+                 batch.column("source")],
+                names=["doc_id", "simhash", "source"],
+            )
+
+    id_type = dict(staged.dtypes)["doc_id"]
+    return staged.mapInArrow(fn, f"doc_id {id_type}, simhash long, source string")
 
 
 SIMHASH_BANDS = 4

@@ -568,3 +568,20 @@ def test_minhash_arrow_matches_sql(spark, docs):
     a = {tuple(r) for r in dedup.minhash_signatures(docs, engine="arrow").collect()}
     s = {tuple(r) for r in dedup.minhash_signatures(docs, engine="sql").collect()}
     assert a == s and len(a) == docs.count()
+
+
+def test_simhash_arrow_matches_sql(spark, docs):
+    """Arrow per-bit majority votes must equal the 64 SQL aggregate()
+    folds bit-for-bit, including the min-long bit-63 two's complement
+    and zero-word docs (simhash 0)."""
+    from eggopress.pipeline import dedup
+
+    a = {(r["doc_id"], r["simhash"]) for r in dedup.simhash(docs, engine="arrow").collect()}
+    s = {(r["doc_id"], r["simhash"]) for r in dedup.simhash(docs, engine="sql").collect()}
+    assert a == s and len(a) == docs.count()
+    # empty-text doc -> fingerprint 0 on both engines
+    empty = spark.createDataFrame(
+        [(999999, "e", "", 0, "en")],
+        "doc_id long, source string, text string, n_chars int, lang string")
+    for eng in ("arrow", "sql"):
+        assert dedup.simhash(empty, engine=eng).first()["simhash"] == 0
