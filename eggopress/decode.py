@@ -147,10 +147,29 @@ def seen_doc_ids(spark: SparkSession, table_path: str,
     import os as _os
 
     tbl = Table(table_path)
-    runs = ((tbl.snapshot() or {}).get("runs")) or []
+    snap = tbl.snapshot() or {}
+    runs = snap.get("runs") or []
     if runs:
-        dirs = [tbl.docid_sidecar_dir(r) for r in runs if r != exclude_run]
-        if all(_os.path.isdir(d) for d in dirs):
+        # compaction folds old per-run sidecars into one merged dir
+        # (snapshot key docid_merged) so this listing stays O(runs since
+        # last compaction), not O(stream lifetime)
+        merged = snap.get("docid_merged") or {}
+        merged_dir = (_os.path.join(tbl.docid_index_dir, merged["dir"])
+                      if merged.get("dir") else None)
+        covered = (set(merged.get("runs") or [])
+                   if (merged_dir and _os.path.isdir(merged_dir)) else set())
+        dirs = ([merged_dir] if covered else []) + [
+            tbl.docid_sidecar_dir(r) for r in runs
+            if r != exclude_run and r not in covered
+        ]
+        per_run_ok = all(_os.path.isdir(d) for d in dirs)
+        if per_run_ok and exclude_run is not None and exclude_run in covered:
+            # cannot blind the seen-set to a run folded into the merged
+            # dir — fall through to the decode path (correct, slower);
+            # unreachable in the streaming flow, where a replayed run is
+            # skipped before this filter ever runs
+            per_run_ok = False
+        if per_run_ok:
             if not dirs:
                 return spark.createDataFrame([], "doc_id string")
             return spark.read.parquet(*dirs).select("doc_id")

@@ -505,8 +505,17 @@ def encode_append(spark: SparkSession, df: DataFrame, table_path: str, *,
         .first()
     )
     enc_total = man.agg(F.sum("encoded_bytes")).first()[0]
-    prev_runs = list(((tbl.snapshot() or {}).get("runs")) or [])
+    prev_snap = tbl.snapshot() or {}
+    prev_runs = list(prev_snap.get("runs") or [])
+    extra = {}
+    if prev_snap.get("docid_merged"):
+        # carry the merged-sidecar reference forward — dropping it would
+        # orphan the merged dir and fail the seen-set coverage check
+        extra["docid_merged"] = prev_snap["docid_merged"]
+    if prev_snap.get("last_compaction"):
+        extra["last_compaction"] = prev_snap["last_compaction"]
     tbl.commit_snapshot({
+        **extra,
         "stage": "encoded",
         "mode": "append",
         "run_id": run_id,

@@ -242,6 +242,12 @@ def rollback_table(spark: SparkSession, table_path: str, version: int, *,
     target_runs = target.get("runs")
     if target_runs is not None and os.path.isdir(tbl.docid_index_dir):
         keep_dirs = {f"append-{r}" for r in target_runs}
+        # a merged sidecar the TARGET snapshot references is exactly as
+        # old as the target and covers only target runs — keep it; any
+        # newer merged dir folds rolled-back runs in and must go aside
+        tmerged = target.get("docid_merged") or {}
+        if tmerged.get("dir"):
+            keep_dirs.add(tmerged["dir"])
         for ent in list(os.listdir(tbl.docid_index_dir)):
             if ent not in keep_dirs:
                 dst = os.path.join(retired_dir, "index", "docids")
@@ -262,6 +268,43 @@ def rollback_table(spark: SparkSession, table_path: str, version: int, *,
     new_version = tbl.commit_snapshot(snap)
     return {"run_id": run_id, "restored_version": version,
             "new_version": new_version, "retired_files": retired_files}
+
+
+def _merge_docid_sidecars(spark: SparkSession, tbl: Table, run_id: str):
+    """Fold the per-run doc_id sidecars into ONE merged dir. The seen-set
+    read otherwise lists one directory per append run forever — O(runs)
+    driver listings per micro-batch over a long-lived stream. After the
+    merge, snapshot key docid_merged = {dir, runs} records which runs the
+    merged dir covers; seen_doc_ids reads the merged dir plus only the
+    per-run dirs of runs appended SINCE. Merged per-run dirs are
+    removed (their content lives on in the merged dir); an older merged
+    dir is superseded and removed too. Returns the new docid_merged
+    value, or None when there is nothing worth merging."""
+    import shutil
+
+    snap = tbl.snapshot() or {}
+    runs = list(snap.get("runs") or [])
+    prev = snap.get("docid_merged") or {}
+    prev_dir = os.path.join(tbl.docid_index_dir, prev["dir"]) if prev.get("dir") else None
+    covered = set(prev.get("runs") or []) if (prev_dir and os.path.isdir(prev_dir)) else set()
+    fresh = [r for r in runs if r not in covered
+             and os.path.isdir(tbl.docid_sidecar_dir(r))]
+    # every run must be accounted for, or the merged dir would under-cover
+    # and seen_doc_ids' coverage check could no longer trust it
+    if set(runs) - covered - set(fresh):
+        return None
+    if len(fresh) + (1 if covered else 0) < 2:
+        return None  # zero or one source dir: nothing to fold
+    src_dirs = ([prev_dir] if covered else []) + [tbl.docid_sidecar_dir(r) for r in fresh]
+    merged_name = f"merged-{run_id}"
+    staging = os.path.join(tbl.path, f"_index_staging_{run_id}")
+    spark.read.parquet(*src_dirs).write.mode("overwrite").parquet(staging)
+    final = os.path.join(tbl.docid_index_dir, merged_name)
+    shutil.rmtree(final, ignore_errors=True)
+    os.replace(staging, final)
+    for d in src_dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    return {"dir": merged_name, "runs": sorted(covered | set(fresh))}
 
 
 def compact_table(spark: SparkSession, table_path: str, *,
@@ -302,12 +345,15 @@ def compact_table(spark: SparkSession, table_path: str, *,
          f"files:{fat[pid]}->{after.get(pid, 0)}", None, None, None, now_ms)
         for pid in sorted(fat)
     ])
+    docid_merged = _merge_docid_sidecars(spark, tbl, run_id)
     snap = dict(tbl.snapshot() or {})
     snap["stage"] = "encoded"
     snap["partitions"] = tbl.partition_dirs()
     snap["files"] = tbl.partition_file_listing()
     snap["manifest_files"] = tbl.manifest_file_listing()
     snap["last_compaction"] = run_id
+    if docid_merged is not None:
+        snap["docid_merged"] = docid_merged
     tbl.commit_snapshot(snap)
     return {
         "run_id": run_id,

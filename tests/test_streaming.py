@@ -575,3 +575,63 @@ def test_stream_running_totals_stateful(spark, tmp_path):
         .collect()
     }
     assert final == truth
+
+
+def test_compaction_merges_docid_sidecars(spark, tmp_path):
+    """Compaction folds per-run doc_id sidecars into ONE merged dir so
+    the seen-set listing stays O(runs since last compaction) instead of
+    O(stream lifetime); coverage, dedup, a later append, and rollback
+    all stay correct around the merge."""
+    import os
+
+    from eggopress import maintenance
+
+    landing = _landing(tmp_path, n_files=3)
+    table = str(tmp_path / "smg_tbl")
+    streaming.stream_ingest(
+        spark, landing, table,
+        checkpoint=str(tmp_path / "ckpt_smg"), max_files_per_trigger=1,
+        dedup_across_batches=True,
+    ).awaitTermination()
+    tbl = Table(table)
+    assert len(os.listdir(tbl.docid_index_dir)) == 3
+
+    maintenance.compact_table(spark, table)
+    v_post = tbl.current_version()
+    entries = os.listdir(tbl.docid_index_dir)
+    assert len(entries) == 1 and entries[0].startswith("merged-"), entries
+    snap = tbl.snapshot()
+    assert sorted(snap["docid_merged"]["runs"]) == snap["runs"]
+
+    seen = decode.seen_doc_ids(spark, table)
+    assert seen.count() == 120
+    assert all("merged-" in f for f in seen.inputFiles())
+
+    # a new batch after the merge: seen set = merged dir + one fresh dir,
+    # and cross-batch dedup still drops a redelivered copy
+    with open(os.path.join(landing, "extra.jsonl"), "w") as f:
+        rows = [json.dumps({"doc_id": None, "text": f"file 0 doc {i} words words {i % 7}",
+                            "source": "src0", "ts": "2026-01-01T03:00:00"})
+                for i in range(5)]  # duplicates of batch 0's first 5 docs
+        rows.append(json.dumps({"doc_id": None, "text": "genuinely new doc",
+                                "source": "src0", "ts": "2026-01-01T03:00:00"}))
+        f.write("\n".join(rows))
+    streaming.stream_ingest(
+        spark, landing, table,
+        checkpoint=str(tmp_path / "ckpt_smg"), max_files_per_trigger=1,
+        dedup_across_batches=True,
+    ).awaitTermination()
+    assert decode.decode_table(spark, table).count() == 121, \
+        "only the genuinely new doc may land after the merge"
+    seen2 = decode.seen_doc_ids(spark, table)
+    files2 = seen2.inputFiles()
+    assert seen2.count() == 121
+    assert any("merged-" in f for f in files2) and any("append-stream" in f for f in files2)
+
+    # rollback to the post-compaction version keeps the merged dir and
+    # un-sees the rolled-back batch's docs
+    maintenance.rollback_table(spark, table, v_post)
+    assert decode.decode_table(spark, table).count() == 120
+    assert decode.seen_doc_ids(spark, table).count() == 120
+    report = maintenance.table_report(spark, table)
+    assert report["healthy"] is True
