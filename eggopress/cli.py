@@ -70,6 +70,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                      help="near-duplicate curation pass before encode "
                           "(LSH pairs -> connected components -> one "
                           "representative per cluster)")
+    tst.add_argument("--min-words", type=int, default=None,
+                     help="quality gate: drop docs with fewer words")
+    tst.add_argument("--sample", default=None,
+                     help="per-source keep fractions, e.g. 'web=0.1,wiki=1.0' "
+                          "(deterministic hash-threshold domain mixing)")
+    tst.add_argument("--sample-default", type=float, default=1.0,
+                     help="keep fraction for sources not named in --sample")
 
     reg = sub.add_parser("register", help="register a table in the Spark catalog")
     reg.add_argument("--table", required=True)
@@ -182,6 +189,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         elif args.cmd == "toast":
             from eggopress import toast as toastlib
 
+            sample = None
+            if args.sample:
+                sample = {}
+                for part in args.sample.split(","):
+                    src, _, frac = part.partition("=")
+                    if not frac:
+                        p.error(f"--sample needs src=frac entries, got {part!r}")
+                    sample[src.strip()] = float(frac)
             result = toastlib.toast(
                 spark, args.table,
                 input_path=args.input, fmt=args.format, source=args.source,
@@ -189,6 +204,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 editions=tuple(args.editions.split(",")) if args.editions else (),
                 n_partitions=args.partitions,
                 dedup=args.dedup,
+                min_words=args.min_words,
+                sample=sample, sample_default=args.sample_default,
             )
             print(json.dumps(result, default=str))
         elif args.cmd == "register":

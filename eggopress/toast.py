@@ -41,6 +41,9 @@ def toast(
     n_partitions: int | None = None,
     fail_after: str | None = None,
     dedup: str | None = None,
+    min_words: int | None = None,
+    sample: dict[str, float] | None = None,
+    sample_default: float = 1.0,
 ) -> dict:
     """Run (or resume) the full pipeline. Exactly one of input_path /
     manifest selects the corpus. fail_after injects a crash after the named
@@ -52,7 +55,14 @@ def toast(
     per cluster (the min doc_id). Exact copies already collapse via
     content-addressed ids; this removes the NEAR copies. The same
     curated frame feeds the verify stage, and the pass is deterministic,
-    so a resumed toast re-derives the identical survivor set."""
+    so a resumed toast re-derives the identical survivor set.
+
+    min_words drops documents shorter than the threshold (the basic
+    quality gate every training pipeline runs); sample={source: frac}
+    applies deterministic per-source downsampling (domain mixing, see
+    textstats.sample_corpus) to whatever survives dedup and the quality
+    gate. All curation steps are pure functions of content, so resume
+    (and the verify stage's re-derivation) see the identical corpus."""
     from eggopress import catalog, decode, ingest, verify
     from eggopress import editions as editionslib
     from eggopress.pipeline import textstats
@@ -85,6 +95,11 @@ def toast(
                 .select("doc_id")
             )
             docs = docs.join(non_rep, "doc_id", "left_anti")
+        if min_words is not None:
+            docs = docs.filter(
+                F.expr(f"size({textstats.WORDS_SPARK})") >= min_words)
+        if sample:
+            docs = textstats.sample_corpus(docs, sample, default=sample_default)
         return docs
 
     def commit(stage: str, **info) -> None:

@@ -198,3 +198,42 @@ def test_toast_resume_with_dedup_rederives_same_survivors(spark, tmp_path):
     assert result["stages"]["encode"]["status"] == "skipped"
     assert result["stages"]["verify"]["status"] == "done"
     assert decode.decode_table(spark, table, columns=["doc_id"]).count() == 21
+
+
+def test_toast_quality_gate_and_sampling(spark, tmp_path):
+    """min_words drops short docs before encode; per-source sampling
+    keeps a deterministic subset — and a fresh re-run derives the
+    IDENTICAL curated corpus (everything is a pure function of content)."""
+    manifest = _write_resources(tmp_path)
+    # the web resource docs have 5*k words (k=1..3); books lines have 6
+    t1 = str(tmp_path / "cur_tbl")
+    r1 = toastlib.toast(
+        spark, t1, manifest=manifest,
+        min_words=6, sample={"web": 0.5}, sample_default=1.0,
+    )
+    decoded = decode.decode_table(spark, t1)
+    assert decoded.filter(F.col("n_tok") < 6).count() == 0, \
+        "quality gate must drop short docs"
+    per = {r["source"]: r["n"] for r in
+           decoded.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # books: every line has 6 words -> all kept (sample_default=1.0)
+    assert per["books"] == 40
+    # web: only the >=6-word variants survive min_words, then ~half sampled
+    assert 0 < per["web"] < 80
+
+    # determinism: a fresh toast into another table derives the same rows
+    t2 = str(tmp_path / "cur_tbl2")
+    toastlib.toast(spark, t2, manifest=manifest,
+                   min_words=6, sample={"web": 0.5}, sample_default=1.0)
+    d1 = decode.decode_table(spark, t1).select("doc_id")
+    d2 = decode.decode_table(spark, t2).select("doc_id")
+    assert d1.exceptAll(d2).count() == 0 and d2.exceptAll(d1).count() == 0
+    assert r1["stages"]["verify"]["roundtrip_ok"] is True
+
+    # CLI surface parses the sample spec
+    t3 = str(tmp_path / "cur_tbl3")
+    rc = cli.main(["toast", "--manifest", manifest, "--table", t3,
+                   "--min-words", "6", "--sample", "web=0.5"], spark=spark)
+    assert rc == 0
+    d3 = decode.decode_table(spark, t3).select("doc_id")
+    assert d3.exceptAll(d1).count() == 0 and d1.exceptAll(d3).count() == 0
