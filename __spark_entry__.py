@@ -459,6 +459,17 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.lsh_topk(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), 10)
 
 
+def _q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe LSH: also search buckets within hamming distance 1 of
+    the query's signature — recall rises for sum C(8,<=1) = 9 buckets
+    scanned instead of 1."""
+    from eggopress.pipeline import simsearch
+
+    return simsearch.lsh_topk(
+        _t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), 10,
+        probe_bits=1)
+
+
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eggopress.pipeline import simsearch
 
@@ -618,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_dedup_embedding,
         "ann_brute_topk": _q_ann_brute,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_lsh_multiprobe": _q_ann_lsh_multiprobe,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_knn_join": _q_ann_knn_join,
         "ann_knn_join_bucketed": _q_ann_knn_join_bucketed,
@@ -741,6 +753,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, {cos} AS cos
             FROM (SELECT vec_id, embedding, {bucket_expr} AS bucket FROM embeddings), qv
             WHERE bucket = ({qbucket_expr})
+            ORDER BY cos DESC, vec_id ASC LIMIT 10
+        """,
+        "ann_lsh_multiprobe": f"""
+            WITH qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id, {cos} AS cos
+            FROM (SELECT vec_id, embedding, {bucket_expr} AS bucket FROM embeddings), qv
+            WHERE bit_count(xor(bucket, ({qbucket_expr}))) <= 1
             ORDER BY cos DESC, vec_id ASC LIMIT 10
         """,
         "ann_ivf_topk": simsearch.ivf_topk_oracle(0, 10),

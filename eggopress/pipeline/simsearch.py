@@ -112,11 +112,17 @@ def lsh_bucket_expr_duck(dim: int) -> str:
     return " + ".join(terms)
 
 
-def lsh_topk(df: DataFrame, query_vec, k: int = 10, dim: int | None = None) -> DataFrame:
-    """ANN: search only vectors sharing the query's hyperplane-sign bucket.
+def lsh_topk(df: DataFrame, query_vec, k: int = 10, dim: int | None = None,
+             probe_bits: int = 0) -> DataFrame:
+    """ANN: search only vectors in the query's hyperplane-sign bucket.
 
-    At scale the bucket column is a partition key: the probe touches one
-    bucket's partitions instead of the full table.
+    probe_bits > 0 is MULTIPROBE: also search every bucket within that
+    hamming distance of the query's (the vectors most likely to be near
+    misses are the ones whose signature differs on the hyperplanes the
+    query sits closest to). probe_bits=b searches sum_{i<=b} C(8,i)
+    buckets — recall rises steeply for tiny extra scan cost, the classic
+    multiprobe-LSH trade. At scale the bucket column is a partition key:
+    the probe touches the probed buckets' partitions, never the table.
     """
     dim = dim or len(query_vec)
     q = _vec_lit_spark(query_vec)
@@ -126,23 +132,31 @@ def lsh_topk(df: DataFrame, query_vec, k: int = 10, dim: int | None = None) -> D
     qbucket = spark.range(1).select(
         F.expr(lsh_bucket_expr_spark(dim).replace(EMB_D_SPARK, q)).alias("b")
     ).first()["b"]
+    buckets = [
+        qbucket ^ m for m in range(1 << N_PLANES)
+        if bin(m).count("1") <= probe_bits
+    ]
     return (
         df.withColumn("bucket", F.expr(lsh_bucket_expr_spark(dim)))
-        .filter(F.col("bucket") == qbucket)
+        .filter(F.col("bucket").isin(buckets))
         .select("vec_id", F.expr(_cos_spark(EMB_D_SPARK, q)).alias("cos"))
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(k)
     )
 
 
-def lsh_topk_oracle(query_vec, k: int = 10, dim: int | None = None) -> str:
+def lsh_topk_oracle(query_vec, k: int = 10, dim: int | None = None,
+                    probe_bits: int = 0) -> str:
     dim = dim or len(query_vec)
     q = _vec_lit_duck(query_vec)
     qbucket = lsh_bucket_expr_duck(dim).replace(EMB_D_DUCK, q)
+    # hamming-ball membership == the driver-enumerated bucket list
+    where = (f"bucket = ({qbucket})" if probe_bits == 0 else
+             f"bit_count(xor(bucket, ({qbucket}))) <= {probe_bits}")
     return f"""
 SELECT vec_id, {_cos_duck(EMB_D_DUCK, q)} AS cos
 FROM (SELECT vec_id, embedding, {lsh_bucket_expr_duck(dim)} AS bucket FROM embeddings)
-WHERE bucket = ({qbucket})
+WHERE {where}
 ORDER BY cos DESC, vec_id ASC
 LIMIT {k}
 """

@@ -585,3 +585,21 @@ def test_simhash_arrow_matches_sql(spark, docs):
         "doc_id long, source string, text string, n_chars int, lang string")
     for eng in ("arrow", "sql"):
         assert dedup.simhash(empty, engine=eng).first()["simhash"] == 0
+
+
+def test_lsh_multiprobe_improves_recall(spark, embs):
+    """Multiprobe must return a superset of the single-probe candidate
+    pool and never worse recall vs exact brute force; probe_bits=8
+    (every bucket) must reproduce brute exactly."""
+    from eggopress.pipeline import simsearch
+
+    q = [float((i * 7) % 13 - 6) / 13 for i in range(64)]
+    single = simsearch.lsh_topk(embs, q, 10)
+    multi = simsearch.lsh_topk(embs, q, 10, probe_bits=1)
+    brute = simsearch.brute_topk(embs, q, 10)
+    b = [tuple(r) for r in brute.collect()]
+    s_hits = len(set(tuple(r) for r in single.collect()) & set(b))
+    m_hits = len(set(tuple(r) for r in multi.collect()) & set(b))
+    assert m_hits >= s_hits
+    full = simsearch.lsh_topk(embs, q, 10, probe_bits=8)
+    assert [tuple(r) for r in full.collect()] == b
