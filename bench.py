@@ -93,7 +93,11 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         # cluster=False skips the content-signature sort (max encode
         # throughput), cluster=True (the default arm above) buys ratio
         # with that sort — both tokens/sec and bytes published side by
-        # side so the trade is a number, not a narrative
+        # side so the trade is a number, not a narrative. Honesty note:
+        # this arm runs SECOND, so it reads a warm page cache and warm
+        # JVM/Python workers while the clustered arm paid the cold
+        # start — read the pair as an upper bound on the clustering
+        # cost, not an exact ratio
         table_nc = os.path.join(SCRATCH, f"tbl_nc_{cpus}")
         shutil.rmtree(table_nc, ignore_errors=True)
         nc = timed(
