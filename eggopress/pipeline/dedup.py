@@ -262,12 +262,20 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.6,
         hs_docs = hs_docs.persist()
     ex = hs_docs.select("doc_id", "n_sh", F.explode("hsh").alias("sh"))
     dfreq = ex.groupBy("sh").agg(F.count("*").alias("df"))
-    ordered = (
+    # prefix rows straight from a per-doc window rank over the global
+    # (df, sh) order — the previous plan materialized a sorted per-doc
+    # ARRAY (collect_list + sort_array) only to posexplode the first
+    # plen entries back into rows; rank <= plen is the same set with no
+    # array build/teardown. p stays 0-based to keep the positional
+    # arithmetic below identical.
+    from pyspark.sql.window import Window
+
+    _w = Window.partitionBy("doc_id").orderBy("df", "sh")
+    pre = (
         ex.join(dfreq, "sh")
-        .groupBy("doc_id", "n_sh")
-        .agg(F.sort_array(F.collect_list(F.struct("df", "sh"))).alias("osh"))
-        .withColumn("plen", (F.floor((1 - t_eff) * F.col("n_sh")) + 1).cast("int"))
-        .withColumn("prefix", F.expr("slice(transform(osh, x -> x.sh), 1, plen)"))
+        .withColumn("p", F.row_number().over(_w) - 1)
+        .filter(F.col("p") < (F.floor((1 - t_eff) * F.col("n_sh")) + 1).cast("int"))
+        .select("doc_id", "n_sh", "p", "sh")
     )
     # positional filter (ppjoin): a pair with Jaccard >= t has overlap
     # o >= alpha = ceil(t*(na+nb)/(1+t)); its FIRST common shingle in the
@@ -275,7 +283,6 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.6,
     # common shingles lie in the suffixes from there, so
     # min(na-pa, nb-pb) >= alpha must hold for that match — candidates
     # matched only late in a prefix are cut before the distinct/verify
-    pre = ordered.select("doc_id", "n_sh", F.posexplode("prefix").alias("p", "sh"))
     a, b = pre.alias("a"), pre.alias("b")
     # the suffix bound is an integer, so min >= ceil(q) <=> min >= q; the
     # 1e-9 slack absorbs float rounding (0.9/1.9*38 lands a hair ABOVE 18,
