@@ -72,13 +72,12 @@ EMB_D_DUCK = "embedding::DOUBLE[]"
 
 
 def brute_topk(df: DataFrame, query_vec, k: int = 10) -> DataFrame:
-    """Exact cosine top-k against a literal query vector."""
-    q = _vec_lit_spark(query_vec)
+    """Exact cosine top-k against a literal query vector. Scoring is one
+    Arrow pass (sequential-fold float parity with the SQL expression,
+    see _lit_cos_raw); the 6dp round stays in Spark, then TakeOrdered."""
+    scored = _lit_cos_raw(df, "vec_id", query_vec)
     return (
-        df.select(
-            "vec_id",
-            F.expr(_cos_spark(EMB_D_SPARK, q)).alias("cos"),
-        )
+        scored.select("vec_id", F.round("cos", 6).alias("cos"))
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(k)
     )
@@ -361,6 +360,39 @@ def _banded_buckets_arrow(df: DataFrame, id_col: str, dim: int,
         fn, f"{id_col} long, bucket string")
 
 
+def _lit_cos_raw(df: DataFrame, id_col: str, query_vec) -> DataFrame:
+    """(id, cos) of every row against ONE literal query vector — the
+    single-probe sibling of _pair_cos_raw: same sequential-over-dims
+    float64 fold (exact SQL-fold op order), raw output, callers round
+    in Spark."""
+    qv = [float(x) for x in query_vec]
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.asarray(np.stack(pdf["embedding"].to_list()), dtype=np.float64)
+            if a.shape[1] != len(qv):
+                raise ValueError(
+                    f"cosine: dim mismatch: expected {len(qv)}, got {a.shape[1]}")
+            dot = np.zeros(len(pdf), dtype=np.float64)
+            na = np.zeros(len(pdf), dtype=np.float64)
+            nb = 0.0
+            for i, q in enumerate(qv):  # sequential over dims == SQL fold
+                dot += a[:, i] * q
+                na += a[:, i] * a[:, i]
+                nb += q * q
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "cos": dot / (np.sqrt(na) * np.sqrt(nb)),
+            })
+
+    return df.select(id_col, "embedding").mapInPandas(
+        fn, f"{id_col} long, cos double")
+
+
 def _pair_cos_raw(joined: DataFrame, id_a: str, id_b: str,
                   a_col: str, b_col: str, dim: int) -> DataFrame:
     """(id_a, id_b, cos) with the UNROUNDED cosine, computed in one Arrow
@@ -502,9 +534,12 @@ def knn_join(df: DataFrame, queries: DataFrame, k: int = 10,
     from pyspark.sql.window import Window
 
     q = queries.select("q_id", F.col("embedding").alias("q_emb"))
-    scored = df.crossJoin(F.broadcast(q)).select(
-        "q_id", "vec_id",
-        F.expr(_cos_spark(EMB_D_SPARK, "cast(q_emb as array<double>)")).alias("cos"),
+    joined = df.crossJoin(F.broadcast(q))
+    qrow = queries.select("embedding").first()
+    dim = len(qrow["embedding"]) if qrow is not None else 0
+    scored = (
+        _pair_cos_raw(joined, "q_id", "vec_id", "q_emb", "embedding", dim)
+        .select("q_id", "vec_id", F.round("cos", 6).alias("cos"))
     )
     return _rank_topk(scored, k, prefilter)
 
