@@ -149,7 +149,13 @@ def seen_doc_ids(spark: SparkSession, table_path: str,
     tbl = Table(table_path)
     snap = tbl.snapshot() or {}
     runs = snap.get("runs") or []
-    if runs:
+    # a non-empty run list alone does NOT prove coverage: a table first
+    # built by encode_table (batch docs, no sidecars) then appended to
+    # would list only the append runs. The sidecars_cover_table marker is
+    # set by encode_append iff the table was born from appends and every
+    # snapshot since carried it, so it is the explicit proof that the
+    # union of sidecars equals the table's doc set.
+    if runs and snap.get("sidecars_cover_table") is True:
         # compaction folds old per-run sidecars into one merged dir
         # (snapshot key docid_merged) so this listing stays O(runs since
         # last compaction), not O(stream lifetime)
@@ -222,6 +228,12 @@ def decode_table(spark: SparkSession, table_path: str,
     CALLER'S order (positional consumers of e.g. the CLI --columns output
     rely on it — the trailing select is free, the data is already
     decoded)."""
+    # (None, None) is truthy but boundless — normalize to "no predicate"
+    # so it can't reach the row filters and build an empty exists() lambda
+    if n_tok_range is not None and set(n_tok_range) == {None}:
+        n_tok_range = None
+    if token_range is not None and set(token_range) == {None}:
+        token_range = None
     enc = read_encoded(spark, table_path, sources, n_tok_range, version,
                        token_range)
     eff = columns

@@ -507,6 +507,15 @@ def encode_append(spark: SparkSession, df: DataFrame, table_path: str, *,
     enc_total = man.agg(F.sum("encoded_bytes")).first()[0]
     prev_snap = tbl.snapshot() or {}
     prev_runs = list(prev_snap.get("runs") or [])
+    # coverage marker for the sidecar-based seen_doc_ids fast path: True
+    # only when EVERY doc in the table arrived through a sidecar-writing
+    # append — i.e. the table was born from appends (no prior snapshot)
+    # and every committed snapshot since also carried the flag. A table
+    # first built by encode_table (batch docs get no sidecars) never sets
+    # it, so mixed-history tables degrade to the blob-decode path instead
+    # of silently dropping the batch docs from the seen-set.
+    sidecars_cover = (not prev_snap) or bool(
+        prev_snap.get("sidecars_cover_table"))
     extra = {}
     if prev_snap.get("docid_merged"):
         # carry the merged-sidecar reference forward — dropping it would
@@ -523,6 +532,7 @@ def encode_append(spark: SparkSession, df: DataFrame, table_path: str, *,
         # coverage proof the sidecar-based seen_doc_ids needs (every run
         # in this list has a doc_id sidecar dir)
         "runs": sorted(set(prev_runs) | {run_id}),
+        "sidecars_cover_table": sidecars_cover,
         "schema": "corpus_v1",
         "partitions": tbl.partition_dirs(),
         "files": tbl.partition_file_listing(),

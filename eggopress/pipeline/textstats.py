@@ -277,11 +277,18 @@ def sample_corpus(corpus: DataFrame, fractions: dict[str, float],
             raise ValueError(f"fraction out of [0,1] for {src!r}: {f}")
     if not 0.0 <= default <= 1.0:
         raise ValueError(f"default fraction out of [0,1]: {default}")
-    case = "CASE source"
-    for src in sorted(fractions):
-        case += f" WHEN '{src}' THEN {int(round(fractions[src] * buckets))}"
-    case += f" ELSE {int(round(default * buckets))} END"
-    return corpus.filter(F.expr(f"{h32_spark('doc_id')} % {buckets} < {case}"))
+    # threshold built from Column expressions, not an interpolated SQL
+    # CASE — a source name containing a quote is then just a value, never
+    # syntax (the DuckDB oracle below escapes because SQL text is all it
+    # can emit)
+    thresh = F.lit(int(round(default * buckets)))
+    for src in sorted(fractions, reverse=True):
+        thresh = F.when(
+            F.col("source") == F.lit(src),
+            F.lit(int(round(fractions[src] * buckets))),
+        ).otherwise(thresh)
+    h = F.expr(f"{h32_spark('doc_id')} % {buckets}")
+    return corpus.filter(h < thresh)
 
 
 def sample_corpus_where_duck(fractions: dict[str, float],
@@ -289,7 +296,8 @@ def sample_corpus_where_duck(fractions: dict[str, float],
                              buckets: int = 10_000) -> str:
     case = "CASE source"
     for src in sorted(fractions):
-        case += f" WHEN '{src}' THEN {int(round(fractions[src] * buckets))}"
+        lit = src.replace("'", "''")
+        case += f" WHEN '{lit}' THEN {int(round(fractions[src] * buckets))}"
     case += f" ELSE {int(round(default * buckets))} END"
     return f"{h32_duck('doc_id')} % {buckets} < {case}"
 
@@ -352,7 +360,12 @@ def token_cardinality(corpus: DataFrame, m: int = 4096) -> DataFrame:
     for state: the standard error is ~ sqrt(m)*(e^(n/m)-n/m-1)/n. The
     estimate is a deterministic function of content (md5-bucket hash),
     so it has an exact SQL oracle — unlike approx_count_distinct's
-    engine-internal HLL."""
+    engine-internal HLL.
+
+    Saturation (occupied == m) is undefined for linear counting (ln 0);
+    the estimate is NULL there as an explicit 'increase m' sentinel —
+    defined identically in the DuckDB oracle, where a bare ln(0) would
+    instead be a hard error while Spark silently NULLed."""
     if m <= 0:
         raise ValueError(f"m must be positive: {m}")
     occ = (
@@ -364,8 +377,10 @@ def token_cardinality(corpus: DataFrame, m: int = 4096) -> DataFrame:
     )
     return occ.select(
         "source", "occupied",
-        F.round(-float(m) * F.log(1.0 - F.col("occupied") / float(m)), 6)
-        .alias("est_distinct"),
+        F.when(
+            F.col("occupied") < m,
+            F.round(-float(m) * F.log(1.0 - F.col("occupied") / float(m)), 6),
+        ).alias("est_distinct"),
     )
 
 
@@ -373,7 +388,9 @@ def token_cardinality_oracle(m: int = 4096) -> str:
     h = h32_duck("cast(t as varchar)")
     return f"""
 SELECT source, occupied,
-       round(-{float(m)} * ln(1.0 - occupied / {float(m)}), 6) AS est_distinct
+       CASE WHEN occupied < {m}
+            THEN round(-{float(m)} * ln(1.0 - occupied / {float(m)}), 6)
+       END AS est_distinct
 FROM (
   SELECT source, count(DISTINCT {h} % {m}) AS occupied
   FROM (SELECT source, unnest({TOKENS_DUCK}) AS t FROM documents)

@@ -496,6 +496,35 @@ def test_sample_corpus_deterministic_and_proportional(spark, docs):
         textstats.sample_corpus(corpus, {"src1": 1.5})
 
 
+def test_sample_corpus_quoted_source_name(spark):
+    """A source name containing a single quote must be data, not SQL
+    syntax — in BOTH the Spark operator (Column-expression threshold)
+    and the DuckDB oracle WHERE clause (doubled-quote escaping)."""
+    import duckdb
+
+    from eggopress.pipeline import textstats
+
+    rows = [(f"d{i:03d}", [1, 2, 3], 3, "o'reilly" if i % 2 else "wiki")
+            for i in range(40)]
+    corpus = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    frac = {"o'reilly": 0.0, "wiki": 1.0}
+    kept = textstats.sample_corpus(corpus, frac)
+    srcs = {r["source"] for r in kept.select("source").collect()}
+    assert srcs == {"wiki"} and kept.count() == 20
+
+    con = duckdb.connect()
+    vals = ",".join(
+        "('d%03d', '%s')" % (i, "o''reilly" if i % 2 else "wiki")
+        for i in range(40))
+    con.execute(
+        f"CREATE TABLE c AS SELECT * FROM (VALUES {vals}) t(doc_id, source)")
+    where = textstats.sample_corpus_where_duck(frac)
+    duck_kept = {r[0] for r in con.execute(
+        f"SELECT doc_id FROM c WHERE {where}").fetchall()}
+    assert duck_kept == {r["doc_id"] for r in kept.select("doc_id").collect()}
+
+
 def test_pack_sequences_invariants(spark, docs):
     """Packing = concat-then-chunk: offsets stay inside the context
     window, pack ids are the exact prefix-sum quotients, and totals are
@@ -557,6 +586,23 @@ def test_token_cardinality_sketch_tracks_exact(spark, docs):
             src, row["est_distinct"], exact[src])
     with pytest.raises(ValueError):
         textstats.token_cardinality(corpus, m=0)
+
+    # saturation (occupied == m): linear counting is undefined (ln 0) —
+    # est_distinct must be a NULL sentinel, identically on both engines
+    # (DuckDB's bare ln(0) would be a hard error, Spark's a silent NULL)
+    import duckdb
+
+    sat = textstats.token_cardinality(corpus, m=2).collect()
+    assert any(r["occupied"] == 2 for r in sat)
+    for r in sat:
+        assert (r["est_distinct"] is None) == (r["occupied"] == 2)
+
+    con = duckdb.connect()
+    pdf = docs.toPandas()  # noqa: F841 - registered by name below
+    con.register("documents", pdf)
+    drows = con.execute(textstats.token_cardinality_oracle(m=2)).fetchall()
+    assert {(r[0], r[1], r[2]) for r in drows} == \
+           {(r["source"], r["occupied"], r["est_distinct"]) for r in sat}
 
 
 def test_minhash_arrow_matches_sql(spark, docs):

@@ -214,3 +214,9 @@ def test_token_predicate_pushes_value_stats_filter(spark, table):
     assert df.exceptAll(full).count() == 0
     assert full.exceptAll(df).count() == 0
     assert df.count() > 0
+
+    # boundless tuples are truthy but must be a no-op, not a malformed
+    # empty exists() lambda (parse error)
+    base = decode.decode_table(spark, table).count()
+    assert decode.decode_table(spark, table, token_range=(None, None),
+                               n_tok_range=(None, None)).count() == base

@@ -489,6 +489,42 @@ def test_seen_doc_ids_reads_sidecars_not_blobs(spark, tmp_path):
     assert any("/data/" in f for f in fallback.inputFiles())
 
 
+def test_seen_doc_ids_mixed_history_covers_batch_docs(spark, tmp_path):
+    """A table FIRST built by encode_table (batch docs get no sidecars)
+    then appended to must NOT take the sidecar fast path: the append
+    runs' sidecars don't cover the batch docs, so the fast path would
+    silently drop them from the seen-set and cross-batch dedup would
+    re-ingest them as duplicates. Coverage is proven by the
+    sidecars_cover_table snapshot marker, which only an unbroken
+    append-only history carries."""
+    from eggopress import synth
+
+    table = str(tmp_path / "mixed_tbl")
+    batch = synth.corpus_df(spark, 50)
+    encode.encode_table(spark, batch, table, n_partitions=2)
+    assert not (Table(table).snapshot() or {}).get("sidecars_cover_table")
+
+    encode.encode_append(spark, synth.corpus_df(spark, 50, seed=9), table,
+                         run_id="runX")
+    snap = Table(table).snapshot()
+    assert snap["runs"] == ["runX"]
+    assert snap["sidecars_cover_table"] is False
+
+    seen = decode.seen_doc_ids(spark, table)
+    assert seen.count() == 100  # batch docs included
+    assert any("/data/" in f for f in seen.inputFiles())  # decode path
+
+    # pure-append history: the marker is True and survives further appends
+    table2 = str(tmp_path / "pure_tbl")
+    encode.encode_append(spark, synth.corpus_df(spark, 30), table2,
+                         run_id="runA")
+    encode.encode_append(spark, synth.corpus_df(spark, 30, seed=9), table2,
+                         run_id="runB")
+    assert Table(table2).snapshot()["sidecars_cover_table"] is True
+    assert all("index/docids/" in f
+               for f in decode.seen_doc_ids(spark, table2).inputFiles())
+
+
 def test_rollback_after_compaction_keeps_manifests(spark, tmp_path):
     """Rolling back to a POST-compaction version must keep the original
     append batches' manifest files: the compacted data files carry the
