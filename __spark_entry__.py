@@ -416,6 +416,24 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pack_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized sequence packing: the actual fixed-ctx token arrays a
+    training job consumes, proven by an order-sensitive per-pack
+    checksum (sum of token * (position+1)) — reassembly order, not just
+    membership."""
+    from eggopress.pipeline import textstats
+
+    corpus = textstats.tokenize(_t(spark, sf_dir, "documents"))
+    packs = textstats.pack_sequences(corpus, ctx=256, materialize=True)
+    return packs.select(
+        "source", "pack_id", "n_tok",
+        F.expr(
+            "aggregate(zip_with(tokens, sequence(1, size(tokens)),"
+            " (t, i) -> cast(t as bigint) * i), 0L, (a, x) -> a + x)"
+        ).alias("checksum"),
+    )
+
+
 def _q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary histogram via per-partition bincount partial aggregation."""
     from eggopress.pipeline import textstats
@@ -641,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_train_split": _q_train_split,
         "text_source_sample": _q_source_sample,
         "text_pack_sequences": _q_pack_sequences,
+        "text_pack_materialized": _q_pack_materialized,
         "text_token_cardinality": _q_token_cardinality,
         "multimodal_features": _q_multimodal,
         "multimodal_resize": _q_multimodal_resize,
@@ -789,6 +808,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY source
         """,
         "text_pack_sequences": textstats.pack_rollup_oracle(256),
+        "text_pack_materialized": textstats.pack_checksum_oracle(256),
         "text_token_cardinality": textstats.token_cardinality_oracle(64),
         "multimodal_features": multimodal.FEATURES_ORACLE,
         "multimodal_resize": multimodal.resize_oracle(8, 6),

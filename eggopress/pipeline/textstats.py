@@ -302,29 +302,100 @@ def sample_corpus_where_duck(fractions: dict[str, float],
     return f"{h32_duck('doc_id')} % {buckets} < {case}"
 
 
-def pack_sequences(corpus: DataFrame, ctx: int = 2048) -> DataFrame:
+def pack_sequences(corpus: DataFrame, ctx: int = 2048,
+                   n_partitions: int | None = None,
+                   materialize: bool = False) -> DataFrame:
     """Contiguous sequence packing — the concat-then-chunk step that
     turns variable-length documents into fixed ctx-token training
     sequences: within each source, docs concatenate in doc_id order and
-    the stream is cut every ctx tokens. Adds (pack_id, pack_off): the
-    sequence a doc STARTS in and its token offset inside it (docs may
-    straddle a boundary, exactly like the real concat+chunk pipeline).
+    the stream is cut every ctx tokens. Default output adds (pack_id,
+    pack_off): the sequence a doc STARTS in and its token offset inside
+    it (docs may straddle a boundary, exactly like the real concat+chunk
+    pipeline). materialize=True instead EMITS the packed product itself
+    — (source, pack_id, tokens:array<int>[<=ctx], n_tok) — the
+    fixed-context sequences a training job consumes (the materialized
+    analog of the reference's published editions, docs/spec.md:62-74);
+    the last pack per source may be shorter than ctx.
 
-    Deterministic by construction (doc_id order). Plan shape: one
-    shuffle — a per-source window prefix-sum. At 100 TB, range-partition
-    by (source, doc_id) and the window becomes a per-partition prefix
-    sum plus one tiny per-partition-offset broadcast (the classic
-    two-pass scan); the operator semantics and output are unchanged."""
+    Deterministic by construction (doc_id order). Scale shape — the
+    classic TWO-PASS distributed scan, never a per-source window (a
+    window partitioned by source funnels every row of a 70%-skewed
+    source through ONE task):
+      1. range-partition by (source, doc_id) and materialize once to
+         scratch with the partition id frozen in (range partitions are
+         ordered, so within a source, rising pid == rising doc_id);
+      2. pass 1 aggregates per-(pid, source) token totals — a
+         metadata-cardinality frame, O(partitions x sources) — and the
+         driver prefix-sums them into per-(pid, source) BASE offsets;
+      3. pass 2 computes the local prefix sum inside each (pid, source)
+         window — bounded by the range-partition size, not the source
+         size — and adds the broadcast base offset.
+    materialize adds one more bounded shuffle: each doc explodes into
+    its per-pack slices (built-in sequence/slice, no UDF) and packs
+    reassemble under (source, pack_id) keys, each holding <= ctx tokens
+    regardless of corpus size."""
     from pyspark.sql.window import Window
+
+    from eggopress.pipeline.dedup import _materialize_scratch
 
     if ctx <= 0:
         raise ValueError(f"ctx must be positive: {ctx}")
-    w = (Window.partitionBy("source").orderBy("doc_id")
+    spark = corpus.sparkSession
+    n = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    staged = _materialize_scratch(
+        corpus.repartitionByRange(n, "source", "doc_id")
+        .sortWithinPartitions("source", "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    totals = staged.groupBy("_pid", "source").agg(
+        F.sum(F.col("n_tok").cast("long")).alias("_t")).collect()
+    base_rows, run = [], {}
+    for r in sorted(totals, key=lambda r: (r["source"], r["_pid"])):
+        base_rows.append((int(r["_pid"]), r["source"], run.get(r["source"], 0)))
+        run[r["source"]] = run.get(r["source"], 0) + int(r["_t"])
+    base = spark.createDataFrame(base_rows or [(0, "", 0)],
+                                 "_pid int, source string, _base long")
+    w = (Window.partitionBy("_pid", "source").orderBy("doc_id")
          .rowsBetween(Window.unboundedPreceding, -1))
-    prev = F.coalesce(F.sum(F.col("n_tok").cast("long")).over(w), F.lit(0))
+    local_prev = F.coalesce(F.sum(F.col("n_tok").cast("long")).over(w), F.lit(0))
+    annotated = (
+        staged.withColumn("_lprev", local_prev)
+        .join(F.broadcast(base), ["_pid", "source"])
+        .withColumn("_prev", F.col("_lprev") + F.col("_base"))
+    )
+    if not materialize:
+        return annotated.select(
+            *corpus.columns,
+            F.floor(F.col("_prev") / ctx).cast("int").alias("pack_id"),
+            (F.col("_prev") % ctx).cast("int").alias("pack_off"),
+        )
+    # doc -> one row per pack it overlaps; slice indices are closed-form
+    # from the global offset, all JVM built-ins
+    pieces = (
+        annotated.filter(F.col("n_tok") > 0)
+        .select("source", "_prev", "tokens", "n_tok")
+        .withColumn("pack_id", F.expr(
+            f"explode(sequence(cast(floor(_prev / {ctx}) as int),"
+            f" cast(floor((_prev + n_tok - 1) / {ctx}) as int)))"))
+        .select(
+            "source", "pack_id",
+            F.expr(f"greatest(_prev - cast(pack_id as bigint) * {ctx}, 0L)")
+            .cast("int").alias("_pos"),
+            F.expr(
+                f"slice(tokens,"
+                f" cast(greatest(cast(pack_id as bigint) * {ctx} - _prev, 0L) as int) + 1,"
+                f" cast(least(cast(n_tok as bigint), (cast(pack_id as bigint) + 1) * {ctx} - _prev)"
+                f" - greatest(cast(pack_id as bigint) * {ctx} - _prev, 0L) as int))"
+            ).alias("_piece"),
+        )
+    )
     return (
-        corpus.withColumn("pack_id", F.floor(prev / ctx).cast("int"))
-        .withColumn("pack_off", (prev % ctx).cast("int"))
+        pieces.groupBy("source", "pack_id")
+        .agg(F.expr(
+            "flatten(transform(sort_array(collect_list(struct(_pos, _piece))),"
+            " x -> x._piece))").alias("tokens"))
+        .withColumn("n_tok", F.size("tokens"))
+        .select("source", "pack_id", "tokens", "n_tok")
     )
 
 
@@ -341,6 +412,34 @@ FROM (
                concat(source, '-', lpad(cast(doc_id as varchar), 10, '0')) AS doc_id,
                len({WORDS_DUCK}) AS n_tok
         FROM documents)
+)
+GROUP BY 1, 2
+"""
+
+
+def pack_checksum_oracle(ctx: int = 2048) -> str:
+    """Order-sensitive per-pack checksum over the MATERIALIZED packs:
+    every token's global position maps to (pack_id, position-in-pack),
+    and checksum = sum(token * (pos_in_pack + 1)) is order-sensitive, so
+    it proves the concat+chunk reassembly, not just the token multiset."""
+    return f"""
+SELECT source, cast(gpos // {ctx} as int) AS pack_id,
+       cast(count(*) as int) AS n_tok,
+       cast(sum(cast(tok as bigint) * (gpos % {ctx} + 1)) as bigint) AS checksum
+FROM (
+  SELECT source, prev + i - 1 AS gpos, toks[i] AS tok
+  FROM (
+    SELECT source, toks, prev, unnest(generate_series(1, len(toks))) AS i
+    FROM (
+      SELECT source, toks,
+             coalesce(sum(len(toks)) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      FROM (SELECT source,
+                   concat(source, '-', lpad(cast(doc_id as varchar), 10, '0')) AS doc_id,
+                   {TOKENS_DUCK} AS toks
+            FROM documents)
+    )
+  )
 )
 GROUP BY 1, 2
 """

@@ -549,6 +549,56 @@ def test_pack_sequences_invariants(spark, docs):
         textstats.pack_sequences(corpus, ctx=0)
 
 
+def test_pack_sequences_materialized(spark, docs):
+    """materialize=True emits the concat+chunk product itself: per source
+    every pack except the last is exactly ctx tokens, totals are
+    preserved, and the token STREAM (order included) equals a
+    driver-side sequential concat of docs in doc_id order."""
+    from eggopress.pipeline import textstats
+
+    corpus = textstats.tokenize(docs)
+    ctx = 128
+    packs = textstats.pack_sequences(corpus, ctx=ctx, materialize=True) \
+        .orderBy("source", "pack_id").collect()
+    ref: dict = {}
+    for r in corpus.select("source", "doc_id", "tokens") \
+                   .orderBy("source", "doc_id").collect():
+        ref.setdefault(r["source"], []).extend(r["tokens"])
+    got: dict = {}
+    last_pack: dict = {}
+    for r in packs:
+        assert r["n_tok"] == len(r["tokens"])
+        assert 0 < r["n_tok"] <= ctx
+        # contiguous pack ids per source
+        assert r["pack_id"] == last_pack.get(r["source"], -1) + 1
+        last_pack[r["source"]] = r["pack_id"]
+        got.setdefault(r["source"], []).append(r)
+    for src, rows in got.items():
+        for r in rows[:-1]:
+            assert r["n_tok"] == ctx, (src, r["pack_id"], r["n_tok"])
+        stream = [t for r in rows for t in r["tokens"]]
+        assert stream == ref[src], src
+    assert set(got) == {s for s, toks in ref.items() if toks}
+
+
+def test_pack_sequences_no_per_source_window(spark, docs):
+    """Scale contract: the prefix sum must never be a window partitioned
+    by source alone (one task per source = straggler/OOM on a skewed
+    corpus). Every Window in the plan must key on the frozen range
+    partition id as well."""
+    from eggopress.pipeline import textstats
+
+    corpus = textstats.tokenize(docs)
+    df = textstats.pack_sequences(corpus, ctx=256)
+    jvm = df.sparkSession._jvm
+    plan = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    win_lines = [l for l in plan.splitlines()
+                 if "windowspecdefinition" in l.lower()]
+    assert win_lines, "expected a window prefix sum in the plan"
+    assert all("_pid" in l for l in win_lines), win_lines
+
+
 def test_banded_buckets_arrow_matches_sql(spark, embs):
     """The Arrow-vectorized band-key generator must reproduce the SQL
     expression path EXACTLY — same (id, bucket) multiset. Sign decisions
