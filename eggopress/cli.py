@@ -70,6 +70,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                      help="near-duplicate curation pass before encode "
                           "(LSH pairs -> connected components -> one "
                           "representative per cluster)")
+    tst.add_argument("--max-bucket-rows", type=int, default=10_000,
+                     help="shed LSH buckets larger than this during "
+                          "--dedup candidate generation (0 disables); "
+                          "exact copies are pre-collapsed regardless")
     tst.add_argument("--min-words", type=int, default=None,
                      help="quality gate: drop docs with fewer words")
     tst.add_argument("--sample", default=None,
@@ -204,6 +208,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 editions=tuple(args.editions.split(",")) if args.editions else (),
                 n_partitions=args.partitions,
                 dedup=args.dedup,
+                max_bucket_rows=args.max_bucket_rows or None,
                 min_words=args.min_words,
                 sample=sample, sample_default=args.sample_default,
             )

@@ -70,7 +70,8 @@ log = logging.getLogger("eggopress.dedup")
 
 
 def shed_big_buckets(banded: DataFrame, max_bucket_rows: int | None,
-                     what: str, bucket_col: str = "bucket") -> DataFrame:
+                     what: str, bucket_col: str = "bucket",
+                     metrics: dict | None = None) -> DataFrame:
     """Bucket-size guard for banded LSH joins: a mega-duplicate group of m
     docs (ubiquitous boilerplate in web crawls) shares every band and would
     yield m^2/2 candidate pairs per band. With a cap, buckets holding more
@@ -99,6 +100,9 @@ def shed_big_buckets(banded: DataFrame, max_bucket_rows: int | None,
     )
     n_big, shed_rows = (big.agg(
         F.count("*"), F.coalesce(F.sum("_n"), F.lit(0))).first() or (0, 0))
+    if metrics is not None:
+        metrics["shed_buckets"] = int(n_big)
+        metrics["shed_rows"] = int(shed_rows)
     if not n_big:
         return banded
     log.warning(
@@ -401,7 +405,8 @@ def minhash_signatures(df: DataFrame, engine: str = "arrow") -> DataFrame:
     return hashed.mapInArrow(fn, schema)
 
 
-def minhash_lsh_pairs(df: DataFrame, max_bucket_rows: int | None = None) -> DataFrame:
+def minhash_lsh_pairs(df: DataFrame, max_bucket_rows: int | None = None,
+                      metrics: dict | None = None) -> DataFrame:
     """Candidate pairs sharing at least one LSH band bucket.
 
     max_bucket_rows (the 100 TB guard): mega-duplicate groups share all
@@ -418,7 +423,8 @@ def minhash_lsh_pairs(df: DataFrame, max_bucket_rows: int | None = None) -> Data
         for j in range(MINHASH_BANDS)
     ]
     banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bucket"))
-    banded = shed_big_buckets(banded, max_bucket_rows, "minhash_lsh_pairs")
+    banded = shed_big_buckets(banded, max_bucket_rows, "minhash_lsh_pairs",
+                              metrics=metrics)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -549,7 +555,8 @@ SIMHASH_BAND_BITS = 16
 
 
 def simhash_pairs(df: DataFrame, max_hamming: int = 3,
-                  max_bucket_rows: int | None = None) -> DataFrame:
+                  max_bucket_rows: int | None = None,
+                  metrics: dict | None = None) -> DataFrame:
     """Near-duplicate pairs whose 64-bit SimHashes differ in <= max_hamming
     bits. Candidates come from 4x16-bit band buckets — by pigeonhole a pair
     within hamming distance 3 (< n_bands) agrees exactly on at least one
@@ -581,7 +588,8 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3,
             )
         ).alias("bucket"),
     )
-    banded = shed_big_buckets(banded, max_bucket_rows, "simhash_pairs")
+    banded = shed_big_buckets(banded, max_bucket_rows, "simhash_pairs",
+                              metrics=metrics)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))

@@ -41,6 +41,7 @@ def toast(
     n_partitions: int | None = None,
     fail_after: str | None = None,
     dedup: str | None = None,
+    max_bucket_rows: int | None = 10_000,
     min_words: int | None = None,
     sample: dict[str, float] | None = None,
     sample_default: float = 1.0,
@@ -50,12 +51,19 @@ def toast(
     stage commits (resume tests).
 
     dedup='simhash' | 'minhash' inserts a near-duplicate curation pass
-    between ingest and encode: candidate pairs (banded LSH) ->
+    between ingest and encode: exact pre-collapse (one doc per md5(text)
+    digest, min doc_id kept — a no-op when ingest already
+    content-addressed the ids, but the guarantee the LSH stage's scale
+    posture depends on) -> candidate pairs (banded LSH, over-cap buckets
+    shed at max_bucket_rows; default 10k, None disables) ->
     resolve_clusters (connected components) -> keep one representative
-    per cluster (the min doc_id). Exact copies already collapse via
-    content-addressed ids; this removes the NEAR copies. The same
-    curated frame feeds the verify stage, and the pass is deterministic,
-    so a resumed toast re-derives the identical survivor set.
+    per cluster (the min doc_id). The exact pre-collapse is what keeps a
+    boilerplate-heavy crawl out of the m^2/2 candidate blowup: an m-copy
+    group shares every band bucket, so it must cost one groupBy shuffle,
+    not m^2 pairs; max_bucket_rows bounds whatever near-identical mass
+    remains. Shed metrics land in result['dedup']. The same curated
+    frame feeds the verify stage, and the pass is deterministic, so a
+    resumed toast re-derives the identical survivor set.
 
     min_words drops documents shorter than the threshold (the basic
     quality gate every training pipeline runs); sample={source: frac}
@@ -83,18 +91,31 @@ def toast(
         if dedup:
             from eggopress.pipeline import dedup as dedupl
 
-            if dedup == "simhash":
-                pairs = dedupl.simhash_pairs(docs, 3)
-            elif dedup == "minhash":
-                pairs = dedupl.minhash_lsh_pairs(docs)
-            else:
+            if dedup not in ("simhash", "minhash"):
                 raise ValueError(f"unknown dedup method: {dedup!r}")
+            # exact pre-collapse: one representative per md5(text) digest.
+            # A semi join against min-doc_id reps, deterministic by
+            # content, so resume/verify re-derive the same survivors.
+            reps = (
+                docs.groupBy(F.md5("text").alias("_digest"))
+                .agg(F.min("doc_id").alias("doc_id"))
+                .select("doc_id")
+            )
+            docs = docs.join(reps, "doc_id", "semi")
+            metrics: dict = {}
+            if dedup == "simhash":
+                pairs = dedupl.simhash_pairs(
+                    docs, 3, max_bucket_rows=max_bucket_rows, metrics=metrics)
+            else:
+                pairs = dedupl.minhash_lsh_pairs(
+                    docs, max_bucket_rows=max_bucket_rows, metrics=metrics)
             non_rep = (
                 dedupl.resolve_clusters(pairs)
                 .filter(F.col("doc_id") != F.col("cluster_id"))
                 .select("doc_id")
             )
             docs = docs.join(non_rep, "doc_id", "left_anti")
+            result.setdefault("dedup", {}).update(metrics)
         if min_words is not None:
             docs = docs.filter(
                 F.expr(f"size({textstats.WORDS_SPARK})") >= min_words)

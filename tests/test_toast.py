@@ -169,6 +169,47 @@ def test_toast_near_dedup_keeps_one_representative(spark, tmp_path):
     assert decode.decode_table(spark, table2, columns=["doc_id"]).count() == 32
 
 
+def test_toast_dedup_mega_group_bounded(spark, tmp_path):
+    """A planted 1000-copy boilerplate group (explicit doc_ids, so ingest
+    content-addressing can NOT collapse it) must cost toast one groupBy
+    shuffle, not 10^6/2 LSH candidate pairs: the exact pre-collapse
+    reduces the group to one representative BEFORE candidate generation,
+    so no bucket ever exceeds the cap (shed metrics report zero), and
+    the cap itself is live for whatever near-identical mass remains."""
+    from eggopress.pipeline import dedup as dedupl
+
+    boiler = "mega boilerplate terms and conditions apply to every page"
+    rows = [{"doc_id": f"copy-{i:04d}", "text": boiler, "source": "web"}
+            for i in range(1000)]
+    rows += [{"doc_id": f"uniq-{i:04d}",
+              "text": f"unique article number {i} body words {i * 11}",
+              "source": "web"} for i in range(25)]
+    src = tmp_path / "mega.jsonl"
+    src.write_text("\n".join(json.dumps(r) for r in rows))
+
+    table = str(tmp_path / "mega_tbl")
+    result = toastlib.toast(
+        spark, table, input_path=str(src), fmt="jsonl", source="web",
+        dedup="simhash", max_bucket_rows=50,
+    )
+    assert result["stages"]["verify"]["status"] == "done"
+    # 1000 copies -> 1 representative, 25 unique docs survive
+    assert decode.decode_table(spark, table, columns=["doc_id"]).count() == 26
+    # the mega group never reached the LSH join: nothing was over-cap
+    assert result["dedup"] == {"shed_buckets": 0, "shed_rows": 0}
+
+    # the cap itself is exercised when the pre-collapse is bypassed: the
+    # raw 1000-copy group lands in one bucket per band and is shed
+    docs = ingest.load_documents(spark, str(src), "jsonl", "web")
+    metrics: dict = {}
+    pairs = dedupl.simhash_pairs(docs, 3, max_bucket_rows=50,
+                                 metrics=metrics)
+    assert metrics["shed_buckets"] >= 1
+    assert metrics["shed_rows"] >= 1000
+    # candidate volume stays bounded by the cap, not the group size
+    assert pairs.count() < 50 * 50 * 4
+
+
 def test_toast_resume_with_dedup_rederives_same_survivors(spark, tmp_path):
     """Kill after encode with --dedup active: the resumed run re-derives
     the curated frame for verify, which must match what was encoded —
