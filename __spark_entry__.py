@@ -108,6 +108,63 @@ def _q_roundtrip_token_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _generic_lineitem_table(spark: SparkSession, sf_dir: str) -> str:
+    """Encode lineitem through the GENERIC-schema codec path once per
+    sf_dir; cached on disk (same discipline as _roundtrip_table)."""
+    from eggopress import generic
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(SCRATCH, f"gli_{key}")
+    if not os.path.exists(os.path.join(path, "_meta.json")):
+        li = _t(spark, sf_dir, "lineitem")
+        generic.encode_generic(
+            spark, li, path, cluster_by=("l_shipdate", "l_orderkey"),
+            n_partitions=8)
+    return path
+
+
+def _q_lineitem_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 on an ARBITRARY schema: lineitem (ints, doubles, strings,
+    timestamps) encoded through the generic codec path, decoded, and
+    rolled up — sums of exact integer domains, min/max of doubles (order
+    independent), formatted timestamp bounds. Equality with the oracle
+    computed over the RAW parquet proves the decode is bit-identical in
+    every aggregated domain."""
+    from eggopress import generic
+
+    path = _generic_lineitem_table(spark, sf_dir)
+    dec = generic.decode_generic(spark, path)
+    return dec.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum("l_orderkey").alias("sum_okey"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_discount").alias("min_disc"),
+        F.max("l_tax").alias("max_tax"),
+        F.expr("cast(date_format(min(l_shipdate), 'yyyy-MM-dd-HH') as string)")
+        .alias("min_ship"),
+        F.expr("cast(date_format(max(l_shipdate), 'yyyy-MM-dd-HH') as string)")
+        .alias("max_ship"),
+    )
+
+
+def _q_lineitem_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 on the generic path: chunk-level min/max skipping + exact row
+    filter on an integer column, with blob-level projection."""
+    from eggopress import generic
+
+    path = _generic_lineitem_table(spark, sf_dir)
+    dec = generic.decode_generic(
+        spark, path, columns=["l_orderkey", "l_linenumber", "l_quantity"],
+        where={"l_orderkey": (1000, 5000)})
+    return dec.groupBy("l_linenumber").agg(
+        F.count("*").alias("n"),
+        F.sum("l_orderkey").alias("sum_okey"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+
+
 def _q_codec_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eggopress.tablefmt import Table
 
@@ -624,6 +681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # engine core (SURVEY.md §2.4 C1-C7, §2.3 D1-D4, §2.1 S5/S6, §2.7 V1-V2)
         "c7_roundtrip_equality": _q_roundtrip_equality,
         "c7_roundtrip_token_sum": _q_roundtrip_token_sum,
+        "c7_lineitem_roundtrip": _q_lineitem_roundtrip,
+        "p2_lineitem_predicate": _q_lineitem_predicate,
         "c6_codec_selection": _q_codec_selection,
         "v1_lineage": _q_lineage,
         "p2_predicate_decode": _q_predicate_decode,
@@ -701,6 +760,26 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(len({textstats.WORDS_DUCK})) as bigint) AS n_tok_sum,
                    count(*) AS n_docs
             FROM documents GROUP BY source
+        """,
+        "c7_lineitem_roundtrip": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   cast(sum(l_orderkey) as bigint) AS sum_okey,
+                   cast(sum(cast(l_quantity as bigint)) as bigint) AS sum_qty,
+                   min(l_extendedprice) AS min_price,
+                   max(l_extendedprice) AS max_price,
+                   min(l_discount) AS min_disc,
+                   max(l_tax) AS max_tax,
+                   strftime(min(l_shipdate), '%Y-%m-%d-%H') AS min_ship,
+                   strftime(max(l_shipdate), '%Y-%m-%d-%H') AS max_ship
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "p2_lineitem_predicate": """
+            SELECT l_linenumber, count(*) AS n,
+                   cast(sum(l_orderkey) as bigint) AS sum_okey,
+                   cast(sum(cast(l_quantity as bigint)) as bigint) AS sum_qty
+            FROM lineitem
+            WHERE l_orderkey BETWEEN 1000 AND 5000
+            GROUP BY 1
         """,
         "p2_predicate_decode": f"""
             SELECT concat(source, '-', lpad(cast(doc_id as varchar), 10, '0')) AS doc_id,

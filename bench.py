@@ -143,6 +143,40 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
             ref / max(extras["on_disk_bytes_nocluster"], 1), 4)
         shutil.rmtree(table_nc, ignore_errors=True)
 
+        # generic-schema codec path: lineitem (ints/doubles/strings/
+        # timestamps) through the same codec stack — rows/sec + ratio vs
+        # the reference snappy parquet it was read from
+        from eggopress import generic
+
+        gli = os.path.join(SCRATCH, f"gli_bench_{cpus}")
+        shutil.rmtree(gli, ignore_errors=True)
+        li_path = os.path.join(sf_dir, "lineitem.parquet")
+        li = spark.read.parquet(li_path)
+        # n_partitions sized to the data, not the core count: the bench
+        # tables are small enough that a 64-way fan-out pays more in
+        # parquet per-file overhead than it gains in parallelism
+        gtot = timed(
+            "generic_encode_lineitem",
+            lambda: generic.encode_generic(
+                spark, li, gli, cluster_by=("l_shipdate", "l_orderkey"),
+                n_partitions=8),
+        )
+        extras["lineitem_rows"] = gtot["rows"]
+        extras["lineitem_rows_per_sec_encode"] = round(
+            gtot["rows"] / times["generic_encode_lineitem"])
+        n_gdec = timed(
+            "generic_decode_lineitem",
+            lambda: generic.decode_generic(spark, gli).count(),
+        )
+        assert n_gdec == gtot["rows"], (n_gdec, gtot["rows"])
+        gdisk = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(os.path.join(gli, "data")) for f in fs)
+        extras["lineitem_on_disk_bytes"] = gdisk
+        extras["lineitem_ratio_vs_reference"] = round(
+            os.path.getsize(li_path) / max(gdisk, 1), 4)
+        shutil.rmtree(gli, ignore_errors=True)
+
         qs = entrymod.queries()
         for name in (
             "dedup_exact",

@@ -317,19 +317,24 @@ def pack_sequences(corpus: DataFrame, ctx: int = 2048,
     analog of the reference's published editions, docs/spec.md:62-74);
     the last pack per source may be shorter than ctx.
 
-    Deterministic by construction (doc_id order). Scale shape — the
-    classic TWO-PASS distributed scan, never a per-source window (a
-    window partitioned by source funnels every row of a 70%-skewed
-    source through ONE task):
-      1. range-partition by (source, doc_id) and materialize once to
-         scratch with the partition id frozen in (range partitions are
-         ordered, so within a source, rising pid == rising doc_id);
+    Deterministic by construction (doc_id order; doc_id is assumed
+    unique, which tokenize/ingest guarantee). Scale shape — the classic
+    TWO-PASS distributed scan, never a per-source window (a window
+    partitioned by source funnels every row of a 70%-skewed source
+    through ONE task):
+      1. range-partition a SKINNY (source, doc_id, n_tok) projection —
+         the offsets never need the token payload, so the heavy columns
+         never enter the shuffle — and materialize it once to scratch
+         with the partition id frozen in (range partitions are ordered,
+         so within a source, rising pid == rising doc_id);
       2. pass 1 aggregates per-(pid, source) token totals — a
          metadata-cardinality frame, O(partitions x sources) — and the
          driver prefix-sums them into per-(pid, source) BASE offsets;
       3. pass 2 computes the local prefix sum inside each (pid, source)
          window — bounded by the range-partition size, not the source
-         size — and adds the broadcast base offset.
+         size — adds the broadcast base offset, and joins the
+         per-doc_id assignment back to the corpus (the payload's ONE
+         shuffle).
     materialize adds one more bounded shuffle: each doc explodes into
     its per-pack slices (built-in sequence/slice, no UDF) and packs
     reassemble under (source, pack_id) keys, each holding <= ctx tokens
@@ -343,12 +348,13 @@ def pack_sequences(corpus: DataFrame, ctx: int = 2048,
     spark = corpus.sparkSession
     n = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     staged = _materialize_scratch(
-        corpus.repartitionByRange(n, "source", "doc_id")
+        corpus.select("source", "doc_id", F.col("n_tok").cast("long").alias("_nt"))
+        .repartitionByRange(n, "source", "doc_id")
         .sortWithinPartitions("source", "doc_id")
         .withColumn("_pid", F.spark_partition_id())
     )
     totals = staged.groupBy("_pid", "source").agg(
-        F.sum(F.col("n_tok").cast("long")).alias("_t")).collect()
+        F.sum("_nt").alias("_t")).collect()
     base_rows, run = [], {}
     for r in sorted(totals, key=lambda r: (r["source"], r["_pid"])):
         base_rows.append((int(r["_pid"]), r["source"], run.get(r["source"], 0)))
@@ -357,12 +363,13 @@ def pack_sequences(corpus: DataFrame, ctx: int = 2048,
                                  "_pid int, source string, _base long")
     w = (Window.partitionBy("_pid", "source").orderBy("doc_id")
          .rowsBetween(Window.unboundedPreceding, -1))
-    local_prev = F.coalesce(F.sum(F.col("n_tok").cast("long")).over(w), F.lit(0))
-    annotated = (
+    local_prev = F.coalesce(F.sum("_nt").over(w), F.lit(0))
+    assign = (
         staged.withColumn("_lprev", local_prev)
         .join(F.broadcast(base), ["_pid", "source"])
-        .withColumn("_prev", F.col("_lprev") + F.col("_base"))
+        .select("doc_id", (F.col("_lprev") + F.col("_base")).alias("_prev"))
     )
+    annotated = corpus.join(assign, "doc_id")
     if not materialize:
         return annotated.select(
             *corpus.columns,

@@ -1,0 +1,163 @@
+"""Generic-schema codec path: bit-identical round trips over arbitrary
+flat schemas, blob-level projection, min/max chunk skipping, and the
+dense-only/supported-type contracts."""
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from eggopress import generic
+
+LI = "/root/testdata/sf0.001/lineitem.parquet"
+
+
+def _formatted(df) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+@pytest.fixture(scope="module")
+def li_table(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("gen") / "li")
+    li = spark.read.parquet(LI)
+    generic.encode_generic(spark, li, path,
+                           cluster_by=("l_shipdate", "l_orderkey"),
+                           n_partitions=4)
+    return path
+
+
+def test_lineitem_bit_identical_roundtrip(spark, li_table):
+    """Every column of every row — ints, doubles, strings, timestamps —
+    must survive encode->decode exactly (struct-packed symmetric
+    exceptAll = exact multiset equality)."""
+    li = spark.read.parquet(LI)
+    dec = generic.decode_generic(spark, li_table)
+    assert dec.schema == li.schema
+    a = li.select(F.struct(*li.columns).alias("r"))
+    b = dec.select(F.struct(*li.columns).alias("r"))
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_lineitem_beats_reference_parquet(spark, li_table, tmp_path):
+    meta = generic.read_meta(li_table)
+    assert meta["totals"]["encoded_bytes"] < meta["totals"]["raw_bytes"]
+    # on-disk comparison needs like-for-like file counts: at 6k rows the
+    # parquet per-file overhead of a 4-way layout dominates, so compare
+    # a single-file encode against the single-file reference (at sf0.01+
+    # the multi-partition layout beats the reference too — bench row)
+    path = str(tmp_path / "li1")
+    generic.encode_generic(spark, spark.read.parquet(LI), path,
+                           cluster_by=("l_shipdate", "l_orderkey"),
+                           n_partitions=1)
+    on_disk = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(os.path.join(path, "data")) for f in fs)
+    assert on_disk < os.path.getsize(LI), (on_disk, os.path.getsize(LI))
+
+
+def test_projection_prunes_blob_streams(spark, li_table):
+    """columns= must reach the parquet scan: only the requested columns'
+    blob streams appear in ReadSchema (P4 discipline on the generic
+    path), and the caller's column order is honored."""
+    dec = generic.decode_generic(
+        spark, li_table, columns=["l_quantity", "l_orderkey"])
+    assert dec.columns == ["l_quantity", "l_orderkey"]
+    plan = _formatted(dec)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey__blob" in read_schema
+    assert "l_quantity__blob" in read_schema
+    assert "l_comment__blob" not in read_schema
+    assert "l_extendedprice__blob" not in read_schema
+
+    with pytest.raises(ValueError, match="unknown columns"):
+        generic.decode_generic(spark, li_table, columns=["nope"])
+    with pytest.raises(ValueError, match="duplicate"):
+        generic.decode_generic(spark, li_table,
+                               columns=["l_orderkey", "l_orderkey"])
+
+
+def test_where_pushes_chunk_stats_filter(spark, li_table):
+    """where= prunes chunks via the recorded min/max BEFORE any blob is
+    read (PushedFilters at the scan) and applies the exact row filter
+    after decode."""
+    dec = generic.decode_generic(
+        spark, li_table, columns=["l_orderkey"],
+        where={"l_orderkey": (100, 2000)})
+    plan = _formatted(dec)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "l_orderkey__max" in pushed and "l_orderkey__min" in pushed
+
+    li = spark.read.parquet(LI)
+    expect = li.filter("l_orderkey between 100 and 2000") \
+               .select("l_orderkey")
+    assert dec.exceptAll(expect).count() == 0
+    assert expect.exceptAll(dec).count() == 0
+    assert dec.count() > 0
+
+    # timestamp predicates run in the raw stream domain of the stats:
+    # naive epoch micros for an NTZ column, no timezone semantics
+    lo = int(datetime.datetime(
+        1994, 1, 1, tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+    dts = generic.decode_generic(
+        spark, li_table, columns=["l_shipdate"],
+        where={"l_shipdate": (lo, None)})
+    n_expect = li.filter(
+        F.col("l_shipdate") >= F.expr("timestamp_ntz'1994-01-01'")).count()
+    assert dts.count() == n_expect > 0
+
+    with pytest.raises(ValueError, match="int-backed"):
+        generic.decode_generic(spark, li_table,
+                               where={"l_comment": (1, 2)})
+
+
+def test_exotic_types_roundtrip(spark, tmp_path):
+    """float32, date32 and array<int> columns survive bit-identically,
+    including negative values, empty lists and NaN bit patterns."""
+    rows = [
+        Row(i=i, f=float(i) / 7.0 if i % 5 else float("nan"),
+            d=datetime.date(1990 + i % 30, 1 + i % 12, 1 + i % 28),
+            xs=list(range(i % 7)), s=f"row {i} é")
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows, "i long, f float, d date, xs array<int>, s string")
+    path = str(tmp_path / "exo")
+    generic.encode_generic(spark, df, path)
+    dec = generic.decode_generic(spark, path)
+    assert dec.schema == df.schema
+    # NaN != NaN under SQL equality; compare the float column via bits
+    a = df.selectExpr("i", "cast(f as string) fs", "d", "xs", "s")
+    b = dec.selectExpr("i", "cast(f as string) fs", "d", "xs", "s")
+    pack = lambda x: x.select(F.struct(*x.columns).alias("r"))
+    assert pack(a).exceptAll(pack(b)).count() == 0
+    assert pack(b).exceptAll(pack(a)).count() == 0
+
+
+def test_nulls_and_unsupported_types_rejected(spark, tmp_path):
+    with pytest.raises(Exception, match="dense-only"):
+        generic.encode_generic(
+            spark,
+            spark.createDataFrame([(1, "a"), (None, "b")], "x long, y string"),
+            str(tmp_path / "n"))
+    with pytest.raises(ValueError, match="unsupported"):
+        generic.encode_generic(
+            spark,
+            spark.createDataFrame([Row(m={"k": 1})]),
+            str(tmp_path / "u"))
+
+
+def test_codec_report_and_clustering_choices(spark, li_table):
+    """The auto-selector must pick content-appropriate codecs on the
+    clustered layout: run-length on the sorted date column, dictionary
+    on the low-cardinality rate columns."""
+    rep = {(r["column"], r["codec"]): r["chunks"]
+           for r in generic.codec_report(spark, li_table).collect()}
+    date_codecs = {c for (col, c) in rep if col == "l_shipdate"}
+    assert date_codecs <= {"rle", "forbp", "pfor"}, date_codecs
+    disc_codecs = {c for (col, c) in rep if col == "l_discount"}
+    assert "dict" in disc_codecs or "rle" in disc_codecs, disc_codecs
