@@ -608,6 +608,17 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(assets)
 
 
+def _q_multimodal_rle_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pixel decode of a COMPRESSED raster format (BMP BI_RLE8,
+    bytes-only decompression — encoded runs + absolute mode + EOL/EOB):
+    the order-sensitive checksum over every decoded pixel has a
+    closed-form oracle from the fixture's pixel function."""
+    from eggopress.pipeline import multimodal
+
+    assets = multimodal.attach_rle_bmp(_t(spark, sf_dir, "documents"))
+    return multimodal.decode_rle_frames(assets)
+
+
 def _q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real nearest-neighbor resize over synthetic rasters; the checksum
     of every resized pixel has a closed-form SQL oracle."""
@@ -722,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_cardinality": _q_token_cardinality,
         "multimodal_features": _q_multimodal,
         "multimodal_resize": _q_multimodal_resize,
+        "multimodal_rle_decode": _q_multimodal_rle_decode,
         "multimodal_frame_sample": _q_multimodal_frames,
         # generic relational coverage (aggregate / broadcast join / window)
         "agg_pricing_summary": _q_agg_pricing,
@@ -891,6 +903,7 @@ def oracle_sql() -> dict[str, str]:
         "text_token_cardinality": textstats.token_cardinality_oracle(64),
         "multimodal_features": multimodal.FEATURES_ORACLE,
         "multimodal_resize": multimodal.resize_oracle(8, 6),
+        "multimodal_rle_decode": multimodal.rle_decode_oracle(),
         "multimodal_frame_sample": multimodal.sample_frames_oracle(2),
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,

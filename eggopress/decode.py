@@ -191,6 +191,43 @@ def seen_doc_ids(spark: SparkSession, table_path: str,
     return _decode_df(enc, ["doc_id"])
 
 
+def seen_signatures(spark: SparkSession, table_path: str,
+                    exclude_run: str | None = None) -> DataFrame:
+    """(doc_id, simhash) fingerprints of the docs already in the table —
+    the incremental near-dup index the streaming filter band-joins new
+    batches against. Sidecar-only (signatures are derived state, never
+    stored in chunk blobs): every run listed in the snapshot's sig_runs
+    must have its sidecar dir (or be folded into the merged dir), else
+    this RAISES — a silently partial signature set would under-drop
+    near-dups, which is exactly the failure mode the sigs_cover_table
+    marker exists to keep honest."""
+    import os as _os
+
+    tbl = Table(table_path)
+    snap = tbl.snapshot() or {}
+    sig_runs = snap.get("sig_runs") or []
+    merged = snap.get("sig_merged") or {}
+    merged_dir = (_os.path.join(tbl.sig_index_dir, merged["dir"])
+                  if merged.get("dir") else None)
+    covered = (set(merged.get("runs") or [])
+               if (merged_dir and _os.path.isdir(merged_dir)) else set())
+    if exclude_run is not None and exclude_run in covered:
+        raise RuntimeError(
+            f"cannot exclude run {exclude_run!r}: folded into merged "
+            "signature sidecar")
+    dirs = ([merged_dir] if covered else []) + [
+        tbl.sig_sidecar_dir(r) for r in sig_runs
+        if r != exclude_run and r not in covered
+    ]
+    missing = [d for d in dirs if not _os.path.isdir(d)]
+    if missing:
+        raise RuntimeError(
+            f"signature sidecars missing for committed runs: {missing}")
+    if not dirs:
+        return spark.createDataFrame([], "doc_id string, simhash long")
+    return spark.read.parquet(*dirs).select("doc_id", "simhash")
+
+
 def stats_rollup(spark: SparkSession, table_path: str,
                  version: int | None = None) -> DataFrame:
     """Metadata-only aggregation: per-source doc and token totals from

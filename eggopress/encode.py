@@ -404,7 +404,8 @@ def encode_table(
 
 def encode_append(spark: SparkSession, df: DataFrame, table_path: str, *,
                   run_id: str, n_partitions: int | None = None,
-                  cluster: bool = True) -> dict:
+                  cluster: bool = True,
+                  signatures: DataFrame | None = None) -> dict:
     """Append-encode one micro-batch into an existing (or new) table —
     the streaming-ingest sink (SURVEY.md-plus: continuous corpus
     ingestion). Unlike encode_table this neither retires previous state
@@ -480,6 +481,15 @@ def encode_append(spark: SparkSession, df: DataFrame, table_path: str, *,
     # redelivered batch idempotent.
     df.select("doc_id").write.mode("overwrite").parquet(
         tbl.docid_sidecar_dir(run_id))
+    # near-dup signature sidecar (doc_id, simhash): the incremental
+    # near-dup index. Written before lineage for the same replay-skip
+    # coverage reason, overwrite for the same idempotency. The caller
+    # computes the signatures (they need the raw text, which the corpus
+    # frame no longer carries); this layer only persists and accounts
+    # for them.
+    if signatures is not None:
+        signatures.select("doc_id", "simhash").write.mode(
+            "overwrite").parquet(tbl.sig_sidecar_dir(run_id))
 
     now_ms = int((time.time() - t0) * 1000)
     lineagelib.append(spark, tbl, [
@@ -516,11 +526,18 @@ def encode_append(spark: SparkSession, df: DataFrame, table_path: str, *,
     # of silently dropping the batch docs from the seen-set.
     sidecars_cover = (not prev_snap) or bool(
         prev_snap.get("sidecars_cover_table"))
+    # same coverage logic for the signature index: True only while EVERY
+    # append in the table's history wrote a signature sidecar
+    sigs_cover = (signatures is not None) and (
+        (not prev_snap) or bool(prev_snap.get("sigs_cover_table")))
+    prev_sig_runs = list(prev_snap.get("sig_runs") or [])
     extra = {}
     if prev_snap.get("docid_merged"):
         # carry the merged-sidecar reference forward — dropping it would
         # orphan the merged dir and fail the seen-set coverage check
         extra["docid_merged"] = prev_snap["docid_merged"]
+    if prev_snap.get("sig_merged"):
+        extra["sig_merged"] = prev_snap["sig_merged"]
     if prev_snap.get("last_compaction"):
         extra["last_compaction"] = prev_snap["last_compaction"]
     tbl.commit_snapshot({
@@ -533,6 +550,9 @@ def encode_append(spark: SparkSession, df: DataFrame, table_path: str, *,
         # in this list has a doc_id sidecar dir)
         "runs": sorted(set(prev_runs) | {run_id}),
         "sidecars_cover_table": sidecars_cover,
+        "sig_runs": sorted(set(prev_sig_runs) | {run_id})
+        if signatures is not None else prev_sig_runs,
+        "sigs_cover_table": sigs_cover,
         "schema": "corpus_v1",
         "partitions": tbl.partition_dirs(),
         "files": tbl.partition_file_listing(),

@@ -239,20 +239,25 @@ def rollback_table(spark: SparkSession, table_path: str, version: int, *,
                        os.path.join(dst, fname))
     # doc_id sidecars of rolled-back runs go aside too — the streaming
     # dedup seen-set must not treat rolled-back docs as already ingested
-    target_runs = target.get("runs")
-    if target_runs is not None and os.path.isdir(tbl.docid_index_dir):
-        keep_dirs = {f"append-{r}" for r in target_runs}
+    for runs_key, merged_key, idx_dir, idx_name in (
+        ("runs", "docid_merged", tbl.docid_index_dir, "docids"),
+        ("sig_runs", "sig_merged", tbl.sig_index_dir, "sigs"),
+    ):
+        t_runs = target.get(runs_key)
+        if t_runs is None or not os.path.isdir(idx_dir):
+            continue
+        keep_dirs = {f"append-{r}" for r in t_runs}
         # a merged sidecar the TARGET snapshot references is exactly as
         # old as the target and covers only target runs — keep it; any
         # newer merged dir folds rolled-back runs in and must go aside
-        tmerged = target.get("docid_merged") or {}
+        tmerged = target.get(merged_key) or {}
         if tmerged.get("dir"):
             keep_dirs.add(tmerged["dir"])
-        for ent in list(os.listdir(tbl.docid_index_dir)):
+        for ent in list(os.listdir(idx_dir)):
             if ent not in keep_dirs:
-                dst = os.path.join(retired_dir, "index", "docids")
+                dst = os.path.join(retired_dir, "index", idx_name)
                 os.makedirs(dst, exist_ok=True)
-                os.replace(os.path.join(tbl.docid_index_dir, ent),
+                os.replace(os.path.join(idx_dir, ent),
                            os.path.join(dst, ent))
 
     from eggopress import lineage as lineagelib
@@ -270,41 +275,55 @@ def rollback_table(spark: SparkSession, table_path: str, version: int, *,
             "new_version": new_version, "retired_files": retired_files}
 
 
-def _merge_docid_sidecars(spark: SparkSession, tbl: Table, run_id: str):
-    """Fold the per-run doc_id sidecars into ONE merged dir. The seen-set
-    read otherwise lists one directory per append run forever — O(runs)
-    driver listings per micro-batch over a long-lived stream. After the
-    merge, snapshot key docid_merged = {dir, runs} records which runs the
-    merged dir covers; seen_doc_ids reads the merged dir plus only the
-    per-run dirs of runs appended SINCE. Merged per-run dirs are
-    removed (their content lives on in the merged dir); an older merged
-    dir is superseded and removed too. Returns the new docid_merged
-    value, or None when there is nothing worth merging."""
+def _merge_sidecar_index(spark: SparkSession, tbl: Table, run_id: str,
+                         index_dir: str, sidecar_dir, runs: list[str],
+                         prev: dict):
+    """Fold per-run sidecars of ONE index (docids or sigs) into a merged
+    dir. The seen-set read otherwise lists one directory per append run
+    forever — O(runs) driver listings per micro-batch over a long-lived
+    stream. After the merge, snapshot key <index>_merged = {dir, runs}
+    records which runs the merged dir covers; readers take the merged
+    dir plus only the per-run dirs of runs appended SINCE. Merged
+    per-run dirs are removed (their content lives on in the merged dir);
+    an older merged dir is superseded and removed too. Returns the new
+    merged value, or None when there is nothing worth merging."""
     import shutil
 
-    snap = tbl.snapshot() or {}
-    runs = list(snap.get("runs") or [])
-    prev = snap.get("docid_merged") or {}
-    prev_dir = os.path.join(tbl.docid_index_dir, prev["dir"]) if prev.get("dir") else None
+    prev = prev or {}
+    prev_dir = os.path.join(index_dir, prev["dir"]) if prev.get("dir") else None
     covered = set(prev.get("runs") or []) if (prev_dir and os.path.isdir(prev_dir)) else set()
     fresh = [r for r in runs if r not in covered
-             and os.path.isdir(tbl.docid_sidecar_dir(r))]
+             and os.path.isdir(sidecar_dir(r))]
     # every run must be accounted for, or the merged dir would under-cover
-    # and seen_doc_ids' coverage check could no longer trust it
+    # and the readers' coverage checks could no longer trust it
     if set(runs) - covered - set(fresh):
         return None
     if len(fresh) + (1 if covered else 0) < 2:
         return None  # zero or one source dir: nothing to fold
-    src_dirs = ([prev_dir] if covered else []) + [tbl.docid_sidecar_dir(r) for r in fresh]
+    src_dirs = ([prev_dir] if covered else []) + [sidecar_dir(r) for r in fresh]
     merged_name = f"merged-{run_id}"
-    staging = os.path.join(tbl.path, f"_index_staging_{run_id}")
+    staging = os.path.join(tbl.path, f"_index_staging_{run_id}_{os.path.basename(index_dir)}")
     spark.read.parquet(*src_dirs).write.mode("overwrite").parquet(staging)
-    final = os.path.join(tbl.docid_index_dir, merged_name)
+    final = os.path.join(index_dir, merged_name)
     shutil.rmtree(final, ignore_errors=True)
     os.replace(staging, final)
     for d in src_dirs:
         shutil.rmtree(d, ignore_errors=True)
     return {"dir": merged_name, "runs": sorted(covered | set(fresh))}
+
+
+def _merge_docid_sidecars(spark: SparkSession, tbl: Table, run_id: str):
+    snap = tbl.snapshot() or {}
+    return _merge_sidecar_index(
+        spark, tbl, run_id, tbl.docid_index_dir, tbl.docid_sidecar_dir,
+        list(snap.get("runs") or []), snap.get("docid_merged") or {})
+
+
+def _merge_sig_sidecars(spark: SparkSession, tbl: Table, run_id: str):
+    snap = tbl.snapshot() or {}
+    return _merge_sidecar_index(
+        spark, tbl, run_id, tbl.sig_index_dir, tbl.sig_sidecar_dir,
+        list(snap.get("sig_runs") or []), snap.get("sig_merged") or {})
 
 
 def compact_table(spark: SparkSession, table_path: str, *,
@@ -346,6 +365,7 @@ def compact_table(spark: SparkSession, table_path: str, *,
         for pid in sorted(fat)
     ])
     docid_merged = _merge_docid_sidecars(spark, tbl, run_id)
+    sig_merged = _merge_sig_sidecars(spark, tbl, run_id)
     snap = dict(tbl.snapshot() or {})
     snap["stage"] = "encoded"
     snap["partitions"] = tbl.partition_dirs()
@@ -354,6 +374,8 @@ def compact_table(spark: SparkSession, table_path: str, *,
     snap["last_compaction"] = run_id
     if docid_merged is not None:
         snap["docid_merged"] = docid_merged
+    if sig_merged is not None:
+        snap["sig_merged"] = sig_merged
     tbl.commit_snapshot(snap)
     return {
         "run_id": run_id,

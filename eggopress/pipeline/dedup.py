@@ -554,6 +554,50 @@ SIMHASH_BANDS = 4
 SIMHASH_BAND_BITS = 16
 
 
+def simhash_band_exprs() -> list[str]:
+    """The 4x16-bit band-bucket key expressions over a `simhash` column."""
+    return [
+        f"concat('{j}:', cast(shiftright(simhash, {SIMHASH_BAND_BITS * j})"
+        f" & {(1 << SIMHASH_BAND_BITS) - 1} as string))"
+        for j in range(SIMHASH_BANDS)
+    ]
+
+
+def _simhash_banded(sigs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) -> one row per band bucket."""
+    return sigs.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[F.expr(e) for e in simhash_band_exprs()]))
+        .alias("bucket"),
+    )
+
+
+def simhash_near_matches(new_sigs: DataFrame, seen_sigs: DataFrame,
+                         max_hamming: int = 3) -> DataFrame:
+    """doc_ids from new_sigs whose SimHash is within max_hamming bits of
+    ANY seen_sigs fingerprint — the incremental cross-batch near-dup
+    probe. EXACT by the same pigeonhole as simhash_pairs (a pair within
+    hamming < n_bands agrees on at least one full band), but asymmetric:
+    only (new x seen) candidates are generated, never seen x seen, so a
+    micro-batch costs |batch| x bucket-collision work no matter how
+    large the accumulated index is. One shuffle keyed on the 2^16-bucket
+    band keys; popcount verifies."""
+    if max_hamming >= SIMHASH_BANDS:
+        raise ValueError(
+            f"max_hamming must stay < {SIMHASH_BANDS} for the pigeonhole "
+            f"guarantee: {max_hamming}")
+    a = _simhash_banded(new_sigs.select("doc_id", "simhash"))
+    b = _simhash_banded(seen_sigs.select("doc_id", "simhash")).select(
+        F.col("doc_id").alias("seen_id"), F.col("simhash").alias("seen_sh"),
+        "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.expr(f"bit_count(simhash ^ seen_sh) <= {max_hamming}"))
+        .select("doc_id")
+        .distinct()
+    )
+
+
 def simhash_pairs(df: DataFrame, max_hamming: int = 3,
                   max_bucket_rows: int | None = None,
                   metrics: dict | None = None) -> DataFrame:
@@ -573,21 +617,7 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3,
     max_hamming must stay < SIMHASH_BANDS for the pigeonhole guarantee.
     """
     sh = simhash(df).select("doc_id", "simhash")
-    banded = sh.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.expr(
-                        f"concat('{j}:', cast(shiftright(simhash, {SIMHASH_BAND_BITS * j})"
-                        f" & {(1 << SIMHASH_BAND_BITS) - 1} as string))"
-                    )
-                    for j in range(SIMHASH_BANDS)
-                ]
-            )
-        ).alias("bucket"),
-    )
+    banded = _simhash_banded(sh)
     banded = shed_big_buckets(banded, max_bucket_rows, "simhash_pairs",
                               metrics=metrics)
     a, b = banded.alias("a"), banded.alias("b")

@@ -6,9 +6,13 @@ file-size, and a BITMAPINFOHEADER carrying width/height/bpp at fixed
 offsets), so feature extraction is a genuine binary media-header decode —
 np.frombuffer at header offsets over one concatenated batch buffer, zero
 per-element Python — with an exact DuckDB oracle (the header fields are
-deterministic functions of the document). Full pixel decode of compressed
-formats (PNG/JPEG/audio/video) still needs a media library the container
-doesn't ship: ``decode_image`` remains an honest NotImplementedError.
+deterministic functions of the document). ``decode_image`` REALLY decodes
+one compressed raster format — 8-bpp BMP BI_RLE8, a bytes-only
+run-length scheme implementable in pure numpy (encoded runs, absolute
+mode, EOL/EOB escapes) — with an exact closed-form pixel oracle; pixel
+decode of entropy-coded formats (PNG/JPEG/audio/video) still needs a
+media library the container doesn't ship and still raises
+NotImplementedError.
 """
 
 from __future__ import annotations
@@ -291,6 +295,212 @@ def sample_frames(assets: DataFrame, every_k: int = 2) -> DataFrame:
     return flat.mapInPandas(
         fn, "doc_id bigint, frame_idx int, pixel_sum bigint, frame binary"
     )
+
+
+# ------------------------------------------------- BMP BI_RLE8 decode
+# The one pixel-decode a pure-numpy engine CAN do honestly: BI_RLE8 is a
+# bytes-only run-length scheme (encoded runs, absolute mode, EOL/EOB
+# escapes — Windows BMP spec), no entropy coding, no media library
+# needed. The fixture synthesizes genuinely RLE-compressed payloads with
+# a closed-form pixel function, so the decoded pixel checksum has an
+# exact SQL oracle; every third doc encodes its first stored row in
+# ABSOLUTE mode so both encoding modes are exercised.
+
+RLE_MIME = "image/bmp;compression=rle8"
+
+
+def _rle_dims(doc_ids: np.ndarray):
+    w = (doc_ids % 19) + 5
+    h = (doc_ids % 7) + 3
+    runlen = (doc_ids % 5) + 2
+    return w, h, runlen
+
+
+def attach_rle_bmp(df: DataFrame) -> DataFrame:
+    """documents -> (doc_id, payload:binary, meta) where payload is an
+    8-bpp BI_RLE8-compressed BMP. Pixel function (top-down coordinates):
+    pixel(x, y) = (y + doc_id + x // runlen) % 256 — constant within
+    runs of `runlen`, so the RLE encoding is real compression, and the
+    decoded checksum is closed-form for the oracle. Rows are stored
+    bottom-up (positive biHeight), each terminated by the 00 00 EOL
+    escape, stream terminated by 00 01; docs with doc_id % 3 == 0 store
+    their FIRST stored row in absolute mode (00 n literals, word-
+    aligned)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            ws, hs, rls = _rle_dims(ids)
+            payloads = []
+            for doc, w, h, rl in zip(ids.tolist(), ws.tolist(),
+                                     hs.tolist(), rls.tolist()):
+                stream = bytearray()
+                first_stored = True
+                for y in range(h - 1, -1, -1):  # bottom-up storage
+                    if doc % 3 == 0 and first_stored:
+                        # absolute mode: 00 <n> <n literal bytes> <pad>
+                        vals = bytes(
+                            (y + doc + x // rl) % 256 for x in range(w))
+                        stream += b"\x00" + bytes([w]) + vals
+                        if w % 2:
+                            stream += b"\x00"  # word alignment pad
+                    else:
+                        for x0 in range(0, w, rl):
+                            count = min(rl, w - x0)
+                            val = (y + doc + x0 // rl) % 256
+                            stream += bytes([count, val])
+                    stream += b"\x00\x00"  # end of line
+                    first_stored = False
+                stream += b"\x00\x01"  # end of bitmap
+                hdr = np.zeros(BMP_HEADER_LEN, dtype=np.uint8)
+                hdr[0], hdr[1] = 0x42, 0x4D
+                for off, v in ((2, BMP_HEADER_LEN + len(stream)),
+                               (10, BMP_HEADER_LEN), (14, 40),
+                               (18, w), (22, h), (30, 1)):  # compression=1
+                    for k in range(4):
+                        hdr[off + k] = (v >> (8 * k)) & 0xFF
+                hdr[26] = 1  # planes
+                hdr[28] = 8  # bits per pixel
+                payloads.append(hdr.tobytes() + bytes(stream))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": payloads,
+                "n_bytes": [len(p) for p in payloads],
+                "mime": RLE_MIME,
+            })
+
+    flat = df.select("doc_id").mapInPandas(
+        fn, "doc_id bigint, payload binary, n_bytes bigint, mime string")
+    return flat.select(
+        "doc_id", "payload",
+        F.struct(F.col("n_bytes"), F.col("mime")).alias("meta"))
+
+
+def _decode_rle8(payload: bytes) -> np.ndarray:
+    """One BI_RLE8 BMP payload -> (h, w) uint8 pixel array (top-down).
+
+    The scan is per-RUN Python (the escape grammar is inherently
+    sequential: absolute mode consumes a variable, padded span), but
+    pixel expansion is np.repeat over the collected (count, value)
+    arrays — work per pixel stays vectorized. Delta escapes (00 02)
+    raise: they leave pixels undefined, which a checksum contract can't
+    represent."""
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    if len(buf) < BMP_HEADER_LEN or buf[0] != 0x42 or buf[1] != 0x4D:
+        raise ValueError("not a BMP payload")
+
+    def le32(off: int) -> int:
+        return int(buf[off]) | int(buf[off + 1]) << 8 | \
+            int(buf[off + 2]) << 16 | int(buf[off + 3]) << 24
+
+    w, h = le32(18), le32(22)
+    bpp = int(buf[28]) | int(buf[29]) << 8
+    compression = le32(30)
+    if bpp != 8 or compression != 1:
+        raise NotImplementedError(
+            f"only 8-bpp BI_RLE8 decodes here (got bpp={bpp}, "
+            f"compression={compression}); other formats need a media "
+            "library this environment doesn't ship")
+    data = bytes(payload[le32(10):])
+    rows: list[np.ndarray] = []
+    segments: list[np.ndarray] = []  # in-order row pieces
+    counts: list[int] = []  # pending encoded runs (batched for np.repeat)
+    values: list[int] = []
+    i = 0
+
+    def flush_pending() -> None:
+        if counts:
+            segments.append(np.repeat(np.array(values, dtype=np.uint8),
+                                      np.array(counts, dtype=np.int64)))
+            counts.clear(); values.clear()
+
+    def flush_row() -> None:
+        flush_pending()
+        row = (np.concatenate(segments) if segments
+               else np.empty(0, dtype=np.uint8))
+        if len(row) != w:
+            raise ValueError(f"row length {len(row)} != width {w}")
+        rows.append(row)
+        segments.clear()
+
+    while i + 1 < len(data):
+        c, v = int(data[i]), int(data[i + 1])
+        i += 2
+        if c > 0:  # encoded run
+            counts.append(c); values.append(v)
+        elif v == 0:  # end of line
+            flush_row()
+        elif v == 1:  # end of bitmap
+            break
+        elif v == 2:
+            raise NotImplementedError("BI_RLE8 delta escape unsupported")
+        else:  # absolute mode: v literal bytes, word-aligned
+            flush_pending()  # literals sit between runs — keep order
+            segments.append(
+                np.frombuffer(data[i : i + v], dtype=np.uint8))
+            i += v + (v % 2)
+    if len(rows) != h:
+        raise ValueError(f"decoded {len(rows)} rows, expected {h}")
+    return np.flipud(np.stack(rows))  # bottom-up storage -> top-down
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Pixel decode for the formats a pure-numpy engine can honestly
+    own: 8-bpp BI_RLE8 BMP -> (h, w) uint8 array. Anything entropy-coded
+    (PNG/JPEG/audio/video) still raises — no media library ships in this
+    environment, and pretending otherwise would be a silent wrong-pixels
+    bug waiting to happen."""
+    return _decode_rle8(payload)
+
+
+def decode_rle_frames(assets: DataFrame) -> DataFrame:
+    """Arrow-batched BI_RLE8 decode over the payload column: parses +
+    decompresses every payload and emits an order-sensitive pixel
+    checksum (sum of pixel * (row-major index + 1)) — the proof the
+    whole image decoded, in the right order, at the right size."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_w, out_h, npx, cks = [], [], [], []
+            for payload in pdf["payload"]:
+                img = _decode_rle8(payload)
+                h, w = img.shape
+                out_w.append(w); out_h.append(h); npx.append(w * h)
+                weights = np.arange(1, w * h + 1, dtype=np.int64)
+                cks.append(int((img.reshape(-1).astype(np.int64) * weights).sum()))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": np.array(out_w, dtype=np.int32),
+                "height": np.array(out_h, dtype=np.int32),
+                "n_pixels": np.array(npx, dtype=np.int64),
+                "pixel_checksum": np.array(cks, dtype=np.int64),
+            })
+
+    return assets.select("doc_id", "payload").mapInPandas(
+        fn,
+        "doc_id bigint, width int, height int, n_pixels bigint, "
+        "pixel_checksum bigint",
+    )
+
+
+def rle_decode_oracle() -> str:
+    """Closed-form checksum of the decoded BI_RLE8 pixels: the fixture's
+    pixel function evaluated symbolically over the (x, y) grid."""
+    return """
+SELECT doc_id,
+       cast(w as int) AS width,
+       cast(h as int) AS height,
+       cast(w * h as bigint) AS n_pixels,
+       cast(list_sum(list_transform(generate_series(0, h - 1), y ->
+            list_sum(list_transform(generate_series(0, w - 1), x ->
+              ((y + doc_id + (x // runlen)) % 256) * (y * w + x + 1)
+            )))) as bigint) AS pixel_checksum
+FROM (SELECT doc_id,
+             (doc_id % 19) + 5 AS w,
+             (doc_id % 7) + 3 AS h,
+             (doc_id % 5) + 2 AS runlen
+      FROM documents)
+"""
 
 
 def _pixel_sum_duck(x_hi: str, y_hi: str, sx: str, sy: str, extra: str) -> str:

@@ -49,7 +49,9 @@ def stream_ingest(spark: SparkSession, input_dir: str, table_path: str, *,
                   checkpoint: str, default_source: str | None = "stream",
                   max_files_per_trigger: int | None = None,
                   available_now: bool = True,
-                  dedup_across_batches: bool = False):
+                  dedup_across_batches: bool = False,
+                  neardup: str | None = None,
+                  max_hamming: int = 3):
     """Start the streaming ingest query. available_now=True drains the
     landing dir and stops (the testable trigger); False runs continuously.
     Returns the StreamingQuery — callers awaitTermination() as needed.
@@ -70,30 +72,68 @@ def stream_ingest(spark: SparkSession, input_dir: str, table_path: str, *,
     exactly-once path), and the seen-set excludes the current run's own
     files so a crashed-mid-promote replay re-encodes the SAME subset the
     first attempt did.
+
+    neardup='simhash' additionally drops batch docs whose 64-bit SimHash
+    lands within max_hamming bits of ANY document already in the table —
+    the incremental near-duplicate index a 100 TB pipeline needs (a
+    re-crawl is rarely byte-identical; boilerplate drift survives exact
+    ids). Signatures persist as per-run sidecars (index/sigs/, the
+    doc_id-sidecar pattern) so each batch band-joins against skinny
+    fingerprints, never re-reads the corpus. The snapshot's
+    sigs_cover_table marker must be True on a pre-existing table (i.e.
+    every prior append also wrote signatures) — enabling neardup on a
+    partially covered table raises instead of silently under-dropping.
+    Within-batch near-dups are NOT collapsed (only exact ids are) — the
+    batch is one micro-batch, run toast --dedup for corpus-wide
+    curation.
     """
     from eggopress import decode, encode
+    from eggopress.pipeline import dedup as dedupl
     from eggopress.pipeline import textstats
     from eggopress.tablefmt import Table
+
+    if neardup not in (None, "simhash"):
+        raise ValueError(f"unknown neardup method: {neardup!r}")
 
     reader = spark.readStream.schema(DOCS_STREAM_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    # the stream carries RAW docs; tokenize happens per micro-batch in
+    # the sink, after the dedup filters (the near-dup fingerprint needs
+    # the text, which the corpus shape no longer carries)
     docs = _normalize(reader.json(input_dir), default_source, drop_dups=False)
-    corpus = textstats.tokenize(docs, make_ids=False)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
         run_id = f"stream-{batch_id:08d}"
         df = batch_df.dropDuplicates(["doc_id"])
-        if dedup_across_batches:
-            tbl = Table(table_path)
-            if tbl.snapshot() is not None and not encode._run_recorded(s, tbl, run_id):
-                seen = decode.seen_doc_ids(s, table_path, exclude_run=run_id)
-                df = df.join(seen, "doc_id", "left_anti")
-        encode.encode_append(s, df, table_path, run_id=run_id)
+        tbl = Table(table_path)
+        snap = tbl.snapshot()
+        replayed = snap is not None and encode._run_recorded(s, tbl, run_id)
+        if dedup_across_batches and snap is not None and not replayed:
+            seen = decode.seen_doc_ids(s, table_path, exclude_run=run_id)
+            df = df.join(seen, "doc_id", "left_anti")
+        sig = None
+        if neardup == "simhash":
+            if snap is not None and snap.get("sigs_cover_table") is not True:
+                raise RuntimeError(
+                    "neardup requires full signature coverage: this "
+                    "table has appends without signature sidecars "
+                    "(sigs_cover_table is not True)")
+            sig = dedupl.simhash(df).select("doc_id", "simhash")
+            if snap is not None and not replayed:
+                seen_sigs = decode.seen_signatures(
+                    s, table_path, exclude_run=run_id)
+                drop = dedupl.simhash_near_matches(
+                    sig, seen_sigs, max_hamming=max_hamming)
+                df = df.join(drop, "doc_id", "left_anti")
+                sig = sig.join(drop, "doc_id", "left_anti")
+        corpus = textstats.tokenize(df, make_ids=False)
+        encode.encode_append(s, corpus, table_path, run_id=run_id,
+                             signatures=sig)
 
     writer = (
-        corpus.writeStream.foreachBatch(sink)
+        docs.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint)
     )
     writer = writer.trigger(availableNow=True) if available_now \

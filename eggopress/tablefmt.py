@@ -40,6 +40,11 @@ class Table:
         # the streaming cross-batch dedup seen-set reads these skinny
         # parquet files instead of blob-decoding the whole table per batch
         self.docid_index_dir = os.path.join(self.path, "index", "docids")
+        # per-append-run SimHash signature sidecars (index/sigs/
+        # append-<run_id>/): the incremental near-dup filter band-joins
+        # new batches against these instead of recomputing fingerprints
+        # over the whole corpus per micro-batch
+        self.sig_index_dir = os.path.join(self.path, "index", "sigs")
 
     # ---------------------------------------------------------- snapshots
 
@@ -231,6 +236,9 @@ class Table:
 
     def docid_sidecar_dir(self, run_id: str) -> str:
         return os.path.join(self.docid_index_dir, f"append-{run_id}")
+
+    def sig_sidecar_dir(self, run_id: str) -> str:
+        return os.path.join(self.sig_index_dir, f"append-{run_id}")
 
     def listing_at_version(self, version: int) -> list[str]:
         """Absolute chunk-file paths recorded in snapshot <version>, as

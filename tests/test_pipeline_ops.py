@@ -199,11 +199,87 @@ def test_ivf_topk_subset_of_brute(spark, embs):
     assert [(r.vec_id, r.cos) for r in full] == [(r.vec_id, r.cos) for r in exact]
 
 
-def test_multimodal_decode_stub_raises():
+def test_multimodal_decode_image_contract():
+    """decode_image owns exactly what pure numpy can: BI_RLE8 decodes
+    for real; non-BMP bytes are rejected; entropy-coded / uncompressed
+    formats still raise NotImplementedError honestly."""
+    import numpy as np
+
     from eggopress.pipeline import multimodal
 
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG...")
+    with pytest.raises(ValueError, match="not a BMP"):
+        multimodal.decode_image(b"\x89PNG....." + b"\x00" * 64)
+    # a 24-bpp uncompressed header (the attach_binary shape) still raises
+    hdr = multimodal._bmp_headers(
+        np.array([12]), np.array([2]), np.array([2]))[0].tobytes()
+    with pytest.raises(NotImplementedError, match="BI_RLE8"):
+        multimodal.decode_image(hdr + b"\x00" * 12)
+
+
+def _rle_payload(w, h, rows_spec):
+    """Hand-build a BI_RLE8 payload: rows_spec is a list (bottom-up
+    storage order) of byte strings appended verbatim to the stream."""
+    import numpy as np
+
+    from eggopress.pipeline import multimodal as mm
+
+    stream = b"".join(rows_spec) + b"\x00\x01"
+    hdr = np.zeros(mm.BMP_HEADER_LEN, dtype=np.uint8)
+    hdr[0], hdr[1] = 0x42, 0x4D
+    for off, v in ((2, mm.BMP_HEADER_LEN + len(stream)),
+                   (10, mm.BMP_HEADER_LEN), (14, 40), (18, w), (22, h),
+                   (30, 1)):
+        for k in range(4):
+            hdr[off + k] = (v >> (8 * k)) & 0xFF
+    hdr[26], hdr[28] = 1, 8
+    return hdr.tobytes() + stream
+
+
+def test_rle8_decoder_mixed_modes_and_errors():
+    """A row mixing encoded runs and an absolute span must decode in
+    stream order; delta escapes and row-length mismatches fail loudly."""
+    import numpy as np
+
+    from eggopress.pipeline import multimodal as mm
+
+    # one row, w=8: run(3 x 7), absolute [9, 8, 6] (3 literals + pad),
+    # run(2 x 5) -> [7 7 7 9 8 6 5 5]
+    row = b"\x03\x07" + b"\x00\x03\x09\x08\x06\x00" + b"\x02\x05" + b"\x00\x00"
+    img = mm._decode_rle8(_rle_payload(8, 1, [row]))
+    assert img.tolist() == [[7, 7, 7, 9, 8, 6, 5, 5]]
+
+    # two rows stored bottom-up flip to top-down
+    r0 = b"\x04\x01\x00\x00"  # stored first = bottom row, value 1
+    r1 = b"\x04\x02\x00\x00"  # stored second = top row, value 2
+    img2 = mm._decode_rle8(_rle_payload(4, 2, [r0, r1]))
+    assert img2.tolist() == [[2, 2, 2, 2], [1, 1, 1, 1]]
+
+    with pytest.raises(NotImplementedError, match="delta"):
+        mm._decode_rle8(_rle_payload(4, 1, [b"\x00\x02\x01\x01\x04\x01\x00\x00"]))
+    with pytest.raises(ValueError, match="row length"):
+        mm._decode_rle8(_rle_payload(5, 1, [b"\x04\x01\x00\x00"]))
+    assert np.issubdtype(img.dtype, np.uint8)
+
+
+def test_rle8_fixture_roundtrips_against_pixel_function(spark, docs):
+    """The synthesized RLE payloads decode to EXACTLY the closed-form
+    pixel function (payload-level check, both encoding modes: doc_id%3==0
+    rows use absolute mode)."""
+    import numpy as np
+
+    from eggopress.pipeline import multimodal as mm
+
+    rows = mm.attach_rle_bmp(docs.limit(30)).collect()
+    assert any(r["doc_id"] % 3 == 0 for r in rows)
+    for r in rows:
+        doc = r["doc_id"]
+        w, h, rl = (doc % 19) + 5, (doc % 7) + 3, (doc % 5) + 2
+        img = mm.decode_image(bytes(r["payload"]))
+        assert img.shape == (h, w)
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        expect = ((y + doc + x // rl) % 256).astype(np.uint8)
+        assert (img == expect).all(), doc
 
 
 def test_multimodal_payloads_are_valid_bmp(spark, docs):

@@ -489,6 +489,129 @@ def test_seen_doc_ids_reads_sidecars_not_blobs(spark, tmp_path):
     assert any("/data/" in f for f in fallback.inputFiles())
 
 
+def test_stream_neardup_drops_paraphrased_redelivery(spark, tmp_path):
+    """Incremental near-dup index: a batch-2 document that is a
+    PARAPHRASE of a batch-1 document (different doc_id, different text,
+    SimHash within hamming<=3) must be dropped by the signature
+    band-join — exact-id dedup can't see it. Signatures persist as
+    per-run sidecars; snapshot carries sig_runs + sigs_cover_table."""
+    from eggopress.pipeline import dedup as dedupl
+
+    # long doc: vote margins grow with word count, so a one-word edit
+    # flips only the handful of bits with near-zero margin (hamming 2
+    # at this length, measured) — the regime SimHash near-dup targets
+    base = ("the quick brown fox jumps over the lazy dog while seventeen "
+            "astronauts carefully measure atmospheric pressure near the "
+            "ancient lighthouse during a long calm summer evening " * 4
+            ).strip()
+    b1 = [{"doc_id": f"b1-{i:03d}",
+           "text": f"completely unrelated article {i} about topic {i * 13} "
+                   f"with body words {i * 7} {i * 11}",
+           "source": "web"} for i in range(12)]
+    b1.append({"doc_id": "b1-base", "text": base, "source": "web"})
+    # paraphrase: one word changed -> few simhash bits flip
+    para = base.replace("calm", "quiet", 1)
+    b2 = [{"doc_id": f"b2-{i:03d}",
+           "text": f"fresh batch two article {i} body {i * 17} {i * 19}",
+           "source": "web"} for i in range(8)]
+    b2.append({"doc_id": "b2-para", "text": para, "source": "web"})
+    b2.append({"doc_id": "b2-exactcopy", "text": base, "source": "web"})
+
+    # the planted pair really is within the hamming ball (guards the
+    # fixture, not the operator)
+    sig_df = lambda rows: dedupl.simhash(spark.createDataFrame(
+        [(r["doc_id"], r["text"], r["source"]) for r in rows],
+        "doc_id string, text string, source string"))
+    expected_drop = {
+        r["doc_id"] for r in dedupl.simhash_near_matches(
+            sig_df(b2), sig_df(b1)).collect()
+    }
+    assert "b2-para" in expected_drop and "b2-exactcopy" in expected_drop
+
+    landing = tmp_path / "nd_landing"
+    landing.mkdir()
+    (landing / "b1.jsonl").write_text("\n".join(json.dumps(r) for r in b1))
+    table = str(tmp_path / "nd_tbl")
+    ckpt = str(tmp_path / "nd_ckpt")
+    streaming.stream_ingest(
+        spark, str(landing), table, checkpoint=ckpt,
+        neardup="simhash").awaitTermination()
+    tbl = Table(table)
+    snap = tbl.snapshot()
+    assert snap["sigs_cover_table"] is True
+    assert snap["sig_runs"] == snap["runs"]
+    sigs = decode.seen_signatures(spark, table)
+    assert sigs.count() == 13
+
+    (landing / "b2.jsonl").write_text("\n".join(json.dumps(r) for r in b2))
+    streaming.stream_ingest(
+        spark, str(landing), table, checkpoint=ckpt,
+        neardup="simhash").awaitTermination()
+
+    got = {r["doc_id"] for r in decode.decode_table(
+        spark, table, columns=["doc_id"]).collect()}
+    want = ({r["doc_id"] for r in b1}
+            | {r["doc_id"] for r in b2} - expected_drop)
+    assert got == want
+    # dropped docs contribute no signature either
+    assert decode.seen_signatures(spark, table).count() == len(want)
+
+    # enabling neardup on a table whose history lacks signatures raises
+    table2 = str(tmp_path / "nosig_tbl")
+    streaming.stream_ingest(
+        spark, str(landing), table2,
+        checkpoint=str(tmp_path / "ck2")).awaitTermination()
+    with pytest.raises(Exception, match="sigs_cover_table"):
+        q = streaming.stream_ingest(
+            spark, str(landing), table2,
+            checkpoint=str(tmp_path / "ck3"), neardup="simhash")
+        q.awaitTermination()
+
+
+def test_sig_sidecars_survive_compaction_and_rollback(spark, tmp_path):
+    """Compaction folds signature sidecars into one merged dir (seen
+    listing stays O(runs since last compaction)); rollback retires the
+    signatures of rolled-back runs so they stop shadowing re-ingests."""
+    from eggopress import maintenance
+    from eggopress.pipeline import dedup as dedupl
+    from eggopress.pipeline import textstats as ts
+
+    table = str(tmp_path / "sigc_tbl")
+
+    def append(run, rows):
+        docs = spark.createDataFrame(
+            rows, "doc_id string, text string, source string")
+        sig = dedupl.simhash(docs).select("doc_id", "simhash")
+        encode.encode_append(spark, ts.tokenize(docs, make_ids=False),
+                             table, run_id=run, signatures=sig)
+
+    for b in range(3):
+        append(f"r{b}", [(f"r{b}-{i}", f"batch {b} doc {i} text {i * 7}",
+                          "web") for i in range(10)])
+    assert decode.seen_signatures(spark, table).count() == 30
+
+    v_before = Table(table).current_version()
+    maintenance.compact_table(spark, table, min_files=2)
+    snap = Table(table).snapshot()
+    assert (snap.get("sig_merged") or {}).get("runs") == ["r0", "r1", "r2"]
+    sigs = decode.seen_signatures(spark, table)
+    assert sigs.count() == 30
+    assert all("merged-" in f for f in sigs.inputFiles())
+
+    append("r3", [(f"r3-{i}", f"batch 3 doc {i} text {i * 7}", "web")
+                  for i in range(10)])
+    assert decode.seen_signatures(spark, table).count() == 40
+
+    # roll back past the r3 append: its signatures must go aside
+    post_compact = Table(table).current_version() - 1
+    maintenance.rollback_table(spark, table, version=post_compact)
+    assert decode.seen_signatures(spark, table).count() == 30
+    assert v_before  # silence lint; version progression sanity
+    import os as _os
+
+    assert not _os.path.isdir(Table(table).sig_sidecar_dir("r3"))
+
+
 def test_seen_doc_ids_mixed_history_covers_batch_docs(spark, tmp_path):
     """A table FIRST built by encode_table (batch docs get no sidecars)
     then appended to must NOT take the sidecar fast path: the append
