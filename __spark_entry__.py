@@ -551,6 +551,20 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.ivf_topk(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), 10)
 
 
+def _q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a Lloyd's-TRAINED quantizer (distributed spherical
+    k-means: one narrow partial-sums pass per iteration, O(partitions x
+    cells x dim) to the driver). Rows-only by design — k float k-means
+    iterations have no SQL oracle; determinism + inertia descent +
+    probe-all==brute are pytest-pinned instead."""
+    from eggopress.pipeline import simsearch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = simsearch.train_ivf_centroids(emb, iters=2)
+    return simsearch.ivf_topk(emb, _query_vec(spark, sf_dir), 10,
+                              centroids=cents)
+
+
 def _q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine k-NN join for a 5-query probe batch (two-phase
     local-top-k prefilter; bit-identical to the pure-window plan)."""
@@ -719,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_lsh_multiprobe": _q_ann_lsh_multiprobe,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivf_trained": _q_ann_ivf_trained,
         "ann_knn_join": _q_ann_knn_join,
         "ann_knn_join_bucketed": _q_ann_knn_join_bucketed,
         "text_token_counts": _q_text_token_counts,

@@ -149,6 +149,24 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     ver.add_argument("--input", required=True)
     ver.add_argument("--table", required=True)
 
+    gen = sub.add_parser(
+        "generic-encode",
+        help="encode ANY flat-schema parquet through the codec stack "
+             "(ints/floats/strings/timestamps/dates/int-arrays)")
+    gen.add_argument("--input", required=True, help="parquet path")
+    gen.add_argument("--table", required=True)
+    gen.add_argument("--partitions", type=int, default=None)
+    gen.add_argument("--cluster-by", default=None,
+                     help="comma-separated columns to range-sort by "
+                          "before encode (the clustering-for-ratio trade)")
+
+    gdc = sub.add_parser("generic-decode",
+                         help="decode a generic table back to parquet")
+    gdc.add_argument("--table", required=True)
+    gdc.add_argument("--output", required=True)
+    gdc.add_argument("--columns", default=None,
+                     help="comma-separated projection (blob-level pruning)")
+
     pln = sub.add_parser("plan", help="print submit settings for a cluster shape")
     pln.add_argument("--workers", type=int, required=True)
     pln.add_argument("--node-cores", type=int, required=True)
@@ -290,6 +308,25 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             report["roundtrip_ok"] = ok
             print(json.dumps(report))
             return 0 if ok and report["beats_reference"] else 1
+        elif args.cmd == "generic-encode":
+            from eggopress import generic
+
+            cluster_by = tuple(
+                c.strip() for c in args.cluster_by.split(",")
+            ) if args.cluster_by else None
+            totals = generic.encode_generic(
+                spark, spark.read.parquet(args.input), args.table,
+                n_partitions=args.partitions, cluster_by=cluster_by)
+            print(json.dumps(totals))
+        elif args.cmd == "generic-decode":
+            from eggopress import generic
+
+            cols = ([c.strip() for c in args.columns.split(",")]
+                    if args.columns else None)
+            df = generic.decode_generic(spark, args.table, columns=cols)
+            df.write.mode("overwrite").parquet(args.output)
+            print(json.dumps({"output": args.output,
+                              "rows": spark.read.parquet(args.output).count()}))
     finally:
         if owns_session:
             spark.stop()

@@ -167,8 +167,95 @@ IVF_CELLS = 16
 IVF_NPROBE = 4
 
 
+def train_ivf_centroids(df: DataFrame, *, n_cells: int = IVF_CELLS,
+                        iters: int = 3,
+                        n_partitions: int | None = None) -> list[list[float]]:
+    """Distributed Lloyd's (spherical k-means) refinement of the
+    deterministic seed quantizer — the REAL IVF training path, not
+    MLlib: per iteration ONE narrow mapInArrow pass streams every
+    vector once, assigns it to its max-cosine centroid with a single
+    X @ C.T matmul per Arrow batch, and emits per-partition partial
+    (cell, count, sum-vector) rows. Only O(partitions x n_cells x dim)
+    floats ever reach the driver — never the vectors — so the pass
+    scales like a map-side-combined aggregation no matter the table
+    size. Empty cells keep their previous centroid.
+
+    Deterministic by construction: vectors are range-partitioned by
+    vec_id and sorted within partitions ONCE (materialized to scratch,
+    reused across iterations), so the numpy accumulation order is fixed
+    and two trainings of the same table yield bit-identical centroids.
+    Assignment ties break to the smaller cell id (np.argmax first-max),
+    the same rule as ivf_topk's SQL path."""
+    import numpy as np
+
+    from eggopress.pipeline.dedup import _materialize_scratch
+
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1: {iters}")
+    spark = df.sparkSession
+    n = n_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    seed_rows = (
+        df.filter(F.col("vec_id") < n_cells)
+        .select("vec_id", "embedding").collect()
+    )
+    if len(seed_rows) < n_cells:
+        raise ValueError(
+            f"train_ivf_centroids: only {len(seed_rows)} of {n_cells} "
+            "seed rows exist (vec_ids sparse or offset?)")
+    cents = np.array(
+        [r["embedding"] for r in sorted(seed_rows, key=lambda r: r["vec_id"])],
+        dtype=np.float64)
+    dim = cents.shape[1]
+    staged = _materialize_scratch(
+        df.select("vec_id", "embedding")
+        .repartitionByRange(n, "vec_id")
+        .sortWithinPartitions("vec_id")
+    )
+    out_schema = (f"cid int, cnt long, sums array<double>")
+
+    for _ in range(iters):
+        c_unit = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+        def fn(batches, c_unit=c_unit):
+            import pyarrow as pa
+
+            counts = np.zeros(len(c_unit), dtype=np.int64)
+            sums = np.zeros_like(c_unit)
+            for batch in batches:
+                emb = batch.column("embedding")
+                flat = emb.flatten().to_numpy(zero_copy_only=False) \
+                    .astype(np.float64).reshape(batch.num_rows, -1)
+                xn = flat / np.linalg.norm(flat, axis=1, keepdims=True)
+                cid = np.argmax(xn @ c_unit.T, axis=1)  # first-max ties
+                np.add.at(counts, cid, 1)
+                np.add.at(sums, cid, flat)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.arange(len(c_unit), dtype=np.int32)),
+                    pa.array(counts),
+                    pa.array(list(sums), type=pa.list_(pa.float64())),
+                ],
+                names=["cid", "cnt", "sums"],
+            )
+
+        partials = staged.mapInArrow(fn, out_schema).collect()
+        new_counts = np.zeros(len(cents), dtype=np.int64)
+        new_sums = np.zeros_like(cents)
+        # fixed reduce order: partial rows sorted by content-independent
+        # keys so the float sums fold identically run to run
+        for r in sorted(partials, key=lambda r: (r["cid"], -r["cnt"],
+                                                 tuple(r["sums"]))):
+            new_counts[r["cid"]] += r["cnt"]
+            new_sums[r["cid"]] += np.array(r["sums"], dtype=np.float64)
+        mask = new_counts > 0
+        cents[mask] = new_sums[mask] / new_counts[mask, None]
+    return [[float(x) for x in c] for c in cents]
+
+
 def ivf_topk(df: DataFrame, query_vec, k: int = 10, *,
-             n_cells: int = IVF_CELLS, nprobe: int = IVF_NPROBE) -> DataFrame:
+             n_cells: int = IVF_CELLS, nprobe: int = IVF_NPROBE,
+             centroids: list | None = None) -> DataFrame:
     """IVF-flat ANN: a coarse quantizer partitions vectors into cells;
     a query searches only its nprobe nearest cells.
 
@@ -200,19 +287,28 @@ def ivf_topk(df: DataFrame, query_vec, k: int = 10, *,
     vec_id). Probe selection is driver-side over the same collected
     centroids; the final top-k is a TakeOrdered. At 100 TB the cell id
     this projection computes is the partition/bucket key — assignment is
-    embarrassingly parallel and a query's scan prunes to nprobe cells."""
-    cent_rows = (
-        df.filter(F.col("vec_id") < n_cells)
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
-        .collect()
-    )
-    if len(cent_rows) < n_cells:
-        raise ValueError(
-            f"ivf_topk: quantizer degraded — only {len(cent_rows)} of "
-            f"{n_cells} centroid rows exist (vec_ids sparse or offset?); "
-            "pick centroids by rank over the table's actual ids instead"
+    embarrassingly parallel and a query's scan prunes to nprobe cells.
+
+    centroids= supplies a TRAINED quantizer (train_ivf_centroids'
+    Lloyd's output, or any list of vectors) in place of the seed
+    sample; cell ids are then 0..len-1. The trained quantizer has no
+    SQL oracle (k iterations of float k-means aren't SQL), so trained
+    calls gate rows-only + pytest invariants."""
+    if centroids is not None:
+        cents = {i: [float(x) for x in c] for i, c in enumerate(centroids)}
+    else:
+        cent_rows = (
+            df.filter(F.col("vec_id") < n_cells)
+            .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
+            .collect()
         )
-    cents = {int(r["cid"]): [float(x) for x in r["cemb"]] for r in cent_rows}
+        if len(cent_rows) < n_cells:
+            raise ValueError(
+                f"ivf_topk: quantizer degraded — only {len(cent_rows)} of "
+                f"{n_cells} centroid rows exist (vec_ids sparse or offset?); "
+                "pick centroids by rank over the table's actual ids instead"
+            )
+        cents = {int(r["cid"]): [float(x) for x in r["cemb"]] for r in cent_rows}
     cids = sorted(cents)
     cell_cos = [
         _cos_spark(EMB_D_SPARK, _vec_lit_spark(cents[cid])) for cid in cids

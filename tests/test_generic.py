@@ -151,6 +151,29 @@ def test_nulls_and_unsupported_types_rejected(spark, tmp_path):
             str(tmp_path / "u"))
 
 
+def test_cli_generic_encode_decode(spark, tmp_path, capsys):
+    import json
+
+    from eggopress import cli
+
+    table = str(tmp_path / "cli_g")
+    rc = cli.main(["generic-encode", "--input", LI, "--table", table,
+                   "--cluster-by", "l_shipdate,l_orderkey",
+                   "--partitions", "2"], spark=spark)
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows"] == 6000
+    assert summary["encoded_bytes"] < summary["raw_bytes"]
+
+    out = str(tmp_path / "cli_out")
+    rc = cli.main(["generic-decode", "--table", table, "--output", out,
+                   "--columns", "l_orderkey,l_quantity"], spark=spark)
+    assert rc == 0
+    dec = spark.read.parquet(out)
+    assert dec.columns == ["l_orderkey", "l_quantity"]
+    assert dec.count() == 6000
+
+
 def test_codec_report_and_clustering_choices(spark, li_table):
     """The auto-selector must pick content-appropriate codecs on the
     clustered layout: run-length on the sorted date column, dictionary

@@ -675,6 +675,46 @@ def test_pack_sequences_no_per_source_window(spark, docs):
     assert all("_pid" in l for l in win_lines), win_lines
 
 
+def test_train_ivf_centroids_invariants(spark, embs):
+    """The Lloyd's trainer must be (a) deterministic run-to-run, (b)
+    monotone in spherical-k-means inertia across iterations, (c) a pure
+    quantizer change: probing ALL cells still returns exactly the brute
+    top-k."""
+    import numpy as np
+
+    from eggopress.pipeline import simsearch
+
+    c1 = simsearch.train_ivf_centroids(embs, iters=2)
+    c2 = simsearch.train_ivf_centroids(embs, iters=2)
+    assert c1 == c2  # bit-identical
+
+    X = np.array([r["embedding"] for r in
+                  embs.select("embedding").collect()], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+
+    def inertia(cents):
+        C = np.array(cents, dtype=np.float64)
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        return float((1.0 - (Xn @ Cn.T).max(axis=1)).sum())
+
+    vals = [inertia(simsearch.train_ivf_centroids(embs, iters=i))
+            for i in (1, 2, 3)]
+    assert vals[0] >= vals[1] - 1e-9 and vals[1] >= vals[2] - 1e-9, vals
+
+    q = embs.filter(F.col("vec_id") == 0).first()["embedding"]
+    brute = [(r["vec_id"], r["cos"]) for r in
+             simsearch.brute_topk(embs, q, 10).collect()]
+    trained_all = [(r["vec_id"], r["cos"]) for r in simsearch.ivf_topk(
+        embs, q, 10, centroids=c1, nprobe=len(c1)).collect()]
+    assert trained_all == brute
+
+    with pytest.raises(ValueError, match="iters"):
+        simsearch.train_ivf_centroids(embs, iters=0)
+    with pytest.raises(ValueError, match="seed"):
+        simsearch.train_ivf_centroids(
+            embs.filter(F.col("vec_id") >= 10), n_cells=16)
+
+
 def test_banded_buckets_arrow_matches_sql(spark, embs):
     """The Arrow-vectorized band-key generator must reproduce the SQL
     expression path EXACTLY — same (id, bucket) multiset. Sign decisions
