@@ -10,6 +10,10 @@ primary storage; an edition is a decoded materialization:
                     nested->flat duality (toast.sh:49 parent__child analog)
     locuspart       basic, partitioned by source (toast.sh:51-53 analog)
     flat_locuspart  flat, partitioned by source
+    packed[:ctx]    fixed-context training sequences (source, pack_id,
+                    tokens[<=ctx], n_tok) from the concat-then-chunk
+                    packing pass (default ctx 2048), partitioned by
+                    source — the edition a training job reads directly
 
 Editions are recorded in the table snapshot (the edition catalog), so a
 reader discovers them without scanning directories.
@@ -23,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from eggopress.tablefmt import Table
 
-EDITIONS = ("basic", "flat", "locuspart", "flat_locuspart")
+EDITIONS = ("basic", "flat", "locuspart", "flat_locuspart", "packed")
 
 
 def edition_df(spark: SparkSession, table_path: str, edition: str) -> DataFrame:
@@ -37,6 +41,11 @@ def edition_df(spark: SparkSession, table_path: str, edition: str) -> DataFrame:
         return base.select(
             "doc_id", "source", F.posexplode("tokens").alias("pos", "token")
         )
+    if edition == "packed" or edition.startswith("packed:"):
+        from eggopress.pipeline import textstats
+
+        ctx = int(edition.split(":", 1)[1]) if ":" in edition else 2048
+        return textstats.pack_sequences(base, ctx=ctx, materialize=True)
     raise ValueError(f"unknown edition {edition!r}; valid: {EDITIONS}")
 
 
@@ -49,7 +58,8 @@ def materialize(spark: SparkSession, table_path: str, edition: str,
     out = out_path or os.path.join(tbl.path, "editions", edition)
     df = edition_df(spark, table_path, edition)
     writer = df.write.mode("overwrite")
-    if edition in ("locuspart", "flat_locuspart"):
+    if edition in ("locuspart", "flat_locuspart") or \
+            edition.startswith("packed"):
         writer = writer.partitionBy("source")
     writer.parquet(out)
 

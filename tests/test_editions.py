@@ -54,6 +54,33 @@ def test_edition_catalog_in_snapshot(spark, table):
     assert snap["stage"] == "encoded"  # snapshot carries forward, not reset
 
 
+def test_packed_edition_materializes_training_sequences(spark, table):
+    """packed:<ctx> writes the concat-then-chunk product partitioned by
+    source: token totals preserved, every pack but the last per source
+    exactly ctx, and the edition lands in the snapshot catalog."""
+    from pyspark.sql import functions as F
+
+    out = editions.materialize(spark, table, "packed:128")
+    assert any(d.startswith("source=") for d in os.listdir(out))
+    packs = spark.read.parquet(out)
+    assert set(packs.columns) == {"source", "pack_id", "tokens", "n_tok"}
+
+    from eggopress import decode
+
+    corpus_tok = decode.decode_table(spark, table).agg(
+        F.sum(F.col("n_tok").cast("long"))).first()[0]
+    assert packs.agg(F.sum(F.col("n_tok").cast("long"))).first()[0] == corpus_tok
+    # all but the per-source max pack are exactly full
+    short = (
+        packs.withColumn("_max", F.max("pack_id").over(
+            __import__("pyspark.sql.window", fromlist=["Window"])
+            .Window.partitionBy("source")))
+        .filter((F.col("pack_id") < F.col("_max")) & (F.col("n_tok") != 128))
+    )
+    assert short.count() == 0
+    assert "packed:128" in editions.list_editions(table)
+
+
 def test_unknown_edition_rejected(spark, table):
     with pytest.raises(ValueError):
         editions.edition_df(spark, table, "nope")
