@@ -114,7 +114,7 @@ def _generic_lineitem_table(spark: SparkSession, sf_dir: str) -> str:
     from eggopress import generic
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = os.path.join(SCRATCH, f"gli_{key}")
+    path = os.path.join(SCRATCH, f"gli2_{key}")  # gli2: chunks gained __sum stats
     if not os.path.exists(os.path.join(path, "_meta.json")):
         li = _t(spark, sf_dir, "lineitem")
         generic.encode_generic(
@@ -163,6 +163,17 @@ def _q_lineitem_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_orderkey").alias("sum_okey"),
         F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
     )
+
+
+def _q_lineitem_stats_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only COUNT/SUM/MIN/MAX over the generic lineitem table:
+    answered from chunk stats columns alone, no blob decoded (the
+    generic analog of agg_stats_pushdown)."""
+    from eggopress import generic
+
+    path = _generic_lineitem_table(spark, sf_dir)
+    return generic.stats_rollup_generic(
+        spark, path, ["l_orderkey", "l_linenumber"])
 
 
 def _q_codec_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -708,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c7_roundtrip_token_sum": _q_roundtrip_token_sum,
         "c7_lineitem_roundtrip": _q_lineitem_roundtrip,
         "p2_lineitem_predicate": _q_lineitem_predicate,
+        "agg_lineitem_stats_pushdown": _q_lineitem_stats_pushdown,
         "c6_codec_selection": _q_codec_selection,
         "v1_lineage": _q_lineage,
         "p2_predicate_decode": _q_predicate_decode,
@@ -799,6 +811,16 @@ def oracle_sql() -> dict[str, str]:
                    strftime(min(l_shipdate), '%Y-%m-%d-%H') AS min_ship,
                    strftime(max(l_shipdate), '%Y-%m-%d-%H') AS max_ship
             FROM lineitem GROUP BY 1, 2
+        """,
+        "agg_lineitem_stats_pushdown": """
+            SELECT count(*) AS n_rows,
+                   cast(sum(l_orderkey) as bigint) AS l_orderkey_sum,
+                   min(l_orderkey) AS l_orderkey_min,
+                   max(l_orderkey) AS l_orderkey_max,
+                   cast(sum(l_linenumber) as bigint) AS l_linenumber_sum,
+                   cast(min(l_linenumber) as bigint) AS l_linenumber_min,
+                   cast(max(l_linenumber) as bigint) AS l_linenumber_max
+            FROM lineitem
         """,
         "p2_lineitem_predicate": """
             SELECT l_linenumber, count(*) AS n,

@@ -155,7 +155,7 @@ def _encode_column(name: str, kind: str,
     raise AssertionError(kind)
 
 
-def _int_stats(kind: str, arr: pa.Array) -> tuple[int, int]:
+def _int_stats(kind: str, arr: pa.Array) -> tuple[int, int, int]:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if kind == "ts":
@@ -165,8 +165,8 @@ def _int_stats(kind: str, arr: pa.Array) -> tuple[int, int]:
     else:
         ints = arr.to_numpy(zero_copy_only=False)
     if not len(ints):
-        return 0, 0
-    return int(ints.min()), int(ints.max())
+        return 0, 0, 0
+    return int(ints.min()), int(ints.max()), int(ints.sum(dtype=np.int64))
 
 
 def _from_int64(kind: str, ints: np.ndarray, field: pa.Field) -> pa.Array:
@@ -214,6 +214,7 @@ def _chunk_schema(names: list[str], kinds: dict[str, str]) -> pa.Schema:
         if _KINDS[kinds[c]][0]:
             fields.append(pa.field(f"{c}__min", pa.int64()))
             fields.append(pa.field(f"{c}__max", pa.int64()))
+            fields.append(pa.field(f"{c}__sum", pa.int64()))
     return pa.schema(fields)
 
 
@@ -273,9 +274,10 @@ def encode_generic(spark: SparkSession, df: DataFrame, path: str, *,
                     raw += r
                     enc += len(blob)
                     if _KINDS[kinds[c]][0]:
-                        lo, hi = _int_stats(kinds[c], arr)
+                        lo, hi, s = _int_stats(kinds[c], arr)
                         cols[f"{c}__min"] = lo
                         cols[f"{c}__max"] = hi
+                        cols[f"{c}__sum"] = s
                 cols["raw_bytes"] = raw
                 cols["encoded_bytes"] = enc
                 yield pa.RecordBatch.from_arrays(
@@ -440,6 +442,34 @@ def _spark_to_arrow(dt: T.DataType) -> pa.DataType:
     if isinstance(dt, T.ArrayType):
         return pa.list_(_spark_to_arrow(dt.elementType))
     raise ValueError(f"unsupported: {dt}")
+
+
+def stats_rollup_generic(spark: SparkSession, path: str,
+                         columns: list[str]) -> DataFrame:
+    """Metadata-only aggregation over a generic table: COUNT / SUM /
+    MIN / MAX of int-backed columns from the chunk STATS columns alone —
+    no blob is read (parquet column pruning drops them at the scan), so
+    the pass costs O(#chunks) rows regardless of table size: the same
+    discipline as the corpus engine's stats_rollup, generalized to any
+    schema. Returns one row: (n_rows, <c>_sum, <c>_min, <c>_max, ...)
+    in the raw int64 stats domain (epoch micros for timestamps, days
+    for dates)."""
+    meta = read_meta(path)
+    kinds = meta["kinds"]
+    for c in columns:
+        if c not in kinds or not _KINDS[kinds[c]][0]:
+            raise ValueError(
+                f"stats rollup only covers int-backed columns, got {c!r} "
+                f"({kinds.get(c)})")
+    chunks = spark.read.parquet(os.path.join(path, "data"))
+    aggs = [F.sum("n_rows").alias("n_rows")]
+    for c in columns:
+        aggs += [
+            F.sum(f"{c}__sum").alias(f"{c}_sum"),
+            F.min(f"{c}__min").alias(f"{c}_min"),
+            F.max(f"{c}__max").alias(f"{c}_max"),
+        ]
+    return chunks.agg(*aggs)
 
 
 def codec_report(spark: SparkSession, path: str) -> DataFrame:

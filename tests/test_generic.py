@@ -81,6 +81,28 @@ def test_projection_prunes_blob_streams(spark, li_table):
                                columns=["l_orderkey", "l_orderkey"])
 
 
+def test_stats_rollup_reads_no_blobs(spark, li_table):
+    """Metadata-only rollup: values match a full scan, and NO __blob
+    column reaches the parquet scan (ReadSchema pruned to stats)."""
+    roll = generic.stats_rollup_generic(
+        spark, li_table, ["l_orderkey", "l_linenumber"])
+    plan = _formatted(roll)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "__blob" not in read_schema
+    assert "l_orderkey__sum" in read_schema
+
+    li = spark.read.parquet(LI)
+    expect = li.agg(
+        F.count("*"), F.sum("l_orderkey"), F.min("l_orderkey"),
+        F.max("l_orderkey"), F.sum("l_linenumber")).first()
+    got = roll.first()
+    assert (got["n_rows"], got["l_orderkey_sum"], got["l_orderkey_min"],
+            got["l_orderkey_max"], got["l_linenumber_sum"]) == tuple(expect)
+
+    with pytest.raises(ValueError, match="int-backed"):
+        generic.stats_rollup_generic(spark, li_table, ["l_comment"])
+
+
 def test_where_pushes_chunk_stats_filter(spark, li_table):
     """where= prunes chunks via the recorded min/max BEFORE any blob is
     read (PushedFilters at the scan) and applies the exact row filter
