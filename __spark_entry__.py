@@ -165,6 +165,32 @@ def _q_lineitem_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 on a second arbitrary schema (events: ids, timestamp, free-text
+    props, continuous doubles) through the generic codec path — clustered
+    by (event_type, ts), the natural layout for an event log."""
+    from eggopress import generic
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(SCRATCH, f"gev2_{key}")
+    if not os.path.exists(os.path.join(path, "_meta.json")):
+        generic.encode_generic(
+            spark, _t(spark, sf_dir, "events"), path,
+            cluster_by=("event_type", "ts"), n_partitions=4)
+    dec = generic.decode_generic(spark, path)
+    return dec.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("user_id").alias("sum_user"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.sum(F.length("props")).alias("props_chars"),
+        F.expr("cast(date_format(min(ts), 'yyyy-MM-dd-HH:mm:ss') as string)")
+        .alias("min_ts"),
+        F.expr("cast(date_format(max(ts), 'yyyy-MM-dd-HH:mm:ss') as string)")
+        .alias("max_ts"),
+    )
+
+
 def _q_lineitem_stats_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only COUNT/SUM/MIN/MAX over the generic lineitem table:
     answered from chunk stats columns alone, no blob decoded (the
@@ -720,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c7_lineitem_roundtrip": _q_lineitem_roundtrip,
         "p2_lineitem_predicate": _q_lineitem_predicate,
         "agg_lineitem_stats_pushdown": _q_lineitem_stats_pushdown,
+        "c7_events_roundtrip": _q_events_roundtrip,
         "c6_codec_selection": _q_codec_selection,
         "v1_lineage": _q_lineage,
         "p2_predicate_decode": _q_predicate_decode,
@@ -811,6 +838,16 @@ def oracle_sql() -> dict[str, str]:
                    strftime(min(l_shipdate), '%Y-%m-%d-%H') AS min_ship,
                    strftime(max(l_shipdate), '%Y-%m-%d-%H') AS max_ship
             FROM lineitem GROUP BY 1, 2
+        """,
+        "c7_events_roundtrip": """
+            SELECT event_type, count(*) AS n,
+                   cast(sum(user_id) as bigint) AS sum_user,
+                   min(value) AS min_value,
+                   max(value) AS max_value,
+                   cast(sum(len(props)) as bigint) AS props_chars,
+                   strftime(min(ts), '%Y-%m-%d-%H:%M:%S') AS min_ts,
+                   strftime(max(ts), '%Y-%m-%d-%H:%M:%S') AS max_ts
+            FROM events GROUP BY 1
         """,
         "agg_lineitem_stats_pushdown": """
             SELECT count(*) AS n_rows,
