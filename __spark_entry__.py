@@ -715,6 +715,32 @@ def _q_join_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join (customer BROADCAST into orders,
+    orders shuffle-joined with lineitem on the order key), revenue
+    rollup, top-10 by revenue. Exercises the multi-join + sort/limit
+    surface (SURVEY.md §2.6); the small dim broadcasts, the fact-fact
+    join shuffles on its key — the plan that survives 100x."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            ).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
 def _q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
@@ -792,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # generic relational coverage (aggregate / broadcast join / window)
         "agg_pricing_summary": _q_agg_pricing,
         "join_segment_rollup": _q_join_segment_rollup,
+        "join_shipping_priority": _q_shipping_priority,
         "window_top_orders": _q_window_top_orders,
         "events_rollup": _q_events_rollup,
     }
@@ -998,6 +1025,19 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
               FROM orders
             ) WHERE rn <= 2
+        """,
+        "join_shipping_priority": """
+            SELECT o_orderkey, o_orderpriority,
+                   cast(sum(cast(l_extendedprice * (1 - l_discount)
+                        as decimal(18,4))) as double) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY 1, 2
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
         """,
         "events_rollup": """
             SELECT event_type, strftime(ts, '%Y-%m-%d-%H') AS hour_key,
