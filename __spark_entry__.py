@@ -202,6 +202,33 @@ def _q_lineitem_stats_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, ["l_orderkey", "l_linenumber"])
 
 
+def _q_doc_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random access by doc_id through the docmap index: ids resolve to
+    chunk ids via the hash-partition-pruned skinny index, then only
+    those chunks decode — request-proportional work, the
+    serve-training-docs-by-id path."""
+    import json
+
+    from eggopress import decode
+    from eggopress.tablefmt import Table
+
+    path = _roundtrip_table(spark, sf_dir)
+    meta = os.path.join(path, "index", "docmap", "_meta.json")
+    stale = True
+    if os.path.exists(meta):
+        with open(meta) as fh:
+            stale = (json.load(fh)["built_at_version"]
+                     != Table(path).current_version())
+    if stale:
+        decode.build_doc_index(spark, path)
+    docs = _t(spark, sf_dir, "documents")
+    ids = [r["doc_id"] for r in docs.filter("doc_id % 97 = 3").selectExpr(
+        "concat(source, '-', lpad(cast(doc_id as string), 10, '0')) as doc_id"
+    ).collect()]
+    return decode.lookup_docs(spark, path, ids).select(
+        "doc_id", "n_tok", "source")
+
+
 def _q_codec_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eggopress.tablefmt import Table
 
@@ -771,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c7_roundtrip_token_sum": _q_roundtrip_token_sum,
         "c7_lineitem_roundtrip": _q_lineitem_roundtrip,
         "p2_lineitem_predicate": _q_lineitem_predicate,
+        "p2_doc_lookup": _q_doc_lookup,
         "agg_lineitem_stats_pushdown": _q_lineitem_stats_pushdown,
         "c7_events_roundtrip": _q_events_roundtrip,
         "c6_codec_selection": _q_codec_selection,
@@ -893,6 +921,13 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_orderkey BETWEEN 1000 AND 5000
             GROUP BY 1
+        """,
+        "p2_doc_lookup": f"""
+            SELECT concat(source, '-', lpad(cast(doc_id as varchar), 10, '0')) AS doc_id,
+                   cast(len({textstats.WORDS_DUCK}) as int) AS n_tok,
+                   source
+            FROM documents
+            WHERE doc_id % 97 = 3
         """,
         "p2_predicate_decode": f"""
             SELECT concat(source, '-', lpad(cast(doc_id as varchar), 10, '0')) AS doc_id,

@@ -228,6 +228,111 @@ def seen_signatures(spark: SparkSession, table_path: str,
     return spark.read.parquet(*dirs).select("doc_id", "simhash")
 
 
+def build_doc_index(spark: SparkSession, table_path: str) -> dict:
+    """Build the doc_id -> chunk random-access index (index/docmap/):
+    one skinny (doc_id, chunk_id) row per document, hash-partitioned
+    into 64 pfx= dirs so a point lookup prunes ~98% of the index files
+    before reading a byte. Only the doc_id blobs are decoded to build it
+    (column pruning skips the token payload). The index records the
+    snapshot version it was built at; lookups refuse a stale index
+    loudly instead of silently missing late appends."""
+    import json as _json
+    import os as _os
+
+    tbl = Table(table_path)
+    version = tbl.current_version()
+    enc = read_encoded(spark, table_path).select("chunk_id", "doc_id_blob")
+
+    def fn(batches):
+        import numpy as _np
+        import pyarrow as _pa
+
+        from eggopress.codecs import core as _codecs
+
+        for batch in batches:
+            ids, cids = [], []
+            for i in range(batch.num_rows):
+                lengths, buf = _codecs.decode_strs(
+                    batch.column("doc_id_blob")[i].as_py())
+                from eggopress.chunk import _string_from_parts
+
+                arr = _string_from_parts(lengths, buf)
+                ids.append(arr)
+                cids.append(_np.full(len(arr),
+                                     batch.column("chunk_id")[i].as_py(),
+                                     dtype=_np.int64))
+            if ids:
+                yield _pa.RecordBatch.from_arrays(
+                    [_pa.concat_arrays(ids),
+                     _pa.array(_np.concatenate(cids), type=_pa.int64())],
+                    names=["doc_id", "chunk_id"],
+                )
+
+    dm = enc.mapInArrow(fn, "doc_id string, chunk_id long")
+    data_dir = _os.path.join(tbl.path, "index", "docmap", "data")
+    (
+        dm.withColumn("pfx", F.pmod(F.xxhash64("doc_id"), F.lit(64)))
+        .write.partitionBy("pfx").mode("overwrite").parquet(data_dir)
+    )
+    meta = {"built_at_version": version, "pfx_mod": 64}
+    tmp = _os.path.join(tbl.path, "index", "docmap", "_meta.json.tmp")
+    with open(tmp, "w") as fh:
+        _json.dump(meta, fh)
+    _os.replace(tmp, _os.path.join(tbl.path, "index", "docmap", "_meta.json"))
+    return meta
+
+
+def lookup_docs(spark: SparkSession, table_path: str, ids: list[str],
+                columns: list[str] | None = None) -> DataFrame:
+    """Random access by doc_id: resolve ids -> chunk ids through the
+    docmap index (partition-pruned to the ids' pfx= dirs), then decode
+    ONLY those chunks. Work scales with the request (O(|ids|) map rows
+    collected, a handful of chunks decoded), not the table — the
+    serve-training-docs-by-id path a 100 TB token store needs. The
+    final exact doc_id filter makes chunk_id collisions across
+    partitions harmless (they only cost pruning, never correctness)."""
+    import json as _json
+    import os as _os
+
+    tbl = Table(table_path)
+    meta_path = _os.path.join(tbl.path, "index", "docmap", "_meta.json")
+    if not _os.path.exists(meta_path):
+        raise ValueError(
+            f"no doc index at {table_path}: run build_doc_index first")
+    with open(meta_path) as fh:
+        meta = _json.load(fh)
+    if meta["built_at_version"] != tbl.current_version():
+        raise ValueError(
+            f"doc index stale (built at v{meta['built_at_version']}, table "
+            f"at v{tbl.current_version()}): rebuild with build_doc_index")
+    if not ids:
+        want, _ = _resolve_columns(columns)
+        return spark.createDataFrame(
+            [], T.StructType([f for f in CORPUS_SCHEMA if f.name in want]))
+    idf = spark.createDataFrame([(i,) for i in ids], "doc_id string") \
+        .withColumn("pfx", F.pmod(F.xxhash64("doc_id"),
+                                  F.lit(meta["pfx_mod"])))
+    pfxs = sorted({r["pfx"] for r in idf.select("pfx").distinct().collect()})
+    dm = (
+        spark.read.parquet(_os.path.join(tbl.path, "index", "docmap", "data"))
+        .filter(F.col("pfx").isin(pfxs))  # partition pruning
+        .filter(F.col("doc_id").isin(list(ids)))
+    )
+    chunk_ids = [int(r["chunk_id"]) for r in
+                 dm.select("chunk_id").distinct().collect()]
+    if not chunk_ids:
+        want, _ = _resolve_columns(columns)
+        return spark.createDataFrame(
+            [], T.StructType([f for f in CORPUS_SCHEMA if f.name in want]))
+    enc = read_encoded(spark, table_path).filter(
+        F.col("chunk_id").isin(chunk_ids))
+    eff = columns
+    if columns is not None and "doc_id" not in columns:
+        eff = ["doc_id"] + list(columns)
+    out = _decode_df(enc, eff).filter(F.col("doc_id").isin(list(ids)))
+    return out.select(*columns) if columns is not None else out
+
+
 def stats_rollup(spark: SparkSession, table_path: str,
                  version: int | None = None) -> DataFrame:
     """Metadata-only aggregation: per-source doc and token totals from

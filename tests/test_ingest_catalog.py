@@ -111,6 +111,57 @@ def test_predicate_decode_skips_chunks(spark, tmp_path):
     assert "n_tok_max" in plan and "PushedFilters" in plan
 
 
+def test_doc_lookup_is_request_proportional(spark, tmp_path):
+    """Random access: looking up a handful of ids must decode only their
+    chunks (chunk count bounded by the request, not the table), prune
+    the index read to the ids' pfx partitions, and refuse a stale index
+    after an append."""
+    from eggopress.tablefmt import Table
+
+    corpus = _two_band_corpus(spark)
+    table = str(tmp_path / "lk_tbl")
+    encode.encode_table(spark, corpus, table, n_partitions=4)
+    with pytest.raises(ValueError, match="no doc index"):
+        decode.lookup_docs(spark, table, ["short-000000"])
+    decode.build_doc_index(spark, table)
+
+    ids = ["short-000000", "long-000001", "short-000392"]
+    got = decode.lookup_docs(spark, table, ids)
+    exp = corpus.filter(F.col("doc_id").isin(ids))
+    assert verify.roundtrip_ok(exp, got)
+
+    # chunk pruning: the ids map to a strict subset of the chunks
+    total_chunks = decode.read_encoded(spark, table).count()
+    dm = spark.read.parquet(table + "/index/docmap/data") \
+        .filter(F.col("doc_id").isin(ids))
+    hit_chunks = dm.select("chunk_id").distinct().count()
+    assert 0 < hit_chunks < total_chunks
+    # index partition pruning is structural: 64 pfx dirs, the lookup's
+    # pfx filter prunes the listing to at most one dir per id
+    pfxs = [r["pfx"] for r in spark.createDataFrame(
+        [(i,) for i in ids], "doc_id string"
+    ).select(F.pmod(F.xxhash64("doc_id"), F.lit(64)).alias("pfx")).collect()]
+    pruned = spark.read.parquet(table + "/index/docmap/data") \
+        .filter(F.col("pfx").isin(pfxs))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "pfx" in pf, pf
+
+    # empty / missing ids behave
+    assert decode.lookup_docs(spark, table, []).count() == 0
+    assert decode.lookup_docs(spark, table, ["nope-999999"]).count() == 0
+
+    # an append makes the index stale -> loud refusal, rebuild clears it
+    extra = spark.createDataFrame(
+        [("extra-000001", [1, 2, 3], 3, "short")],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    encode.encode_append(spark, extra, table, run_id="lkA")
+    with pytest.raises(ValueError, match="stale"):
+        decode.lookup_docs(spark, table, ids)
+    decode.build_doc_index(spark, table)
+    assert decode.lookup_docs(spark, table, ["extra-000001"]).count() == 1
+
+
 def test_bounded_range_matches_filter(spark, tmp_path):
     corpus = _two_band_corpus(spark)
     table = str(tmp_path / "skip_tbl2")
