@@ -191,6 +191,30 @@ def _q_events_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embeddings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 on a float-array schema: the embeddings table (vec_id,
+    embedding:array<float>, label) through the generic codec path —
+    float payloads travel as IEEE bit patterns, so the decode is exact
+    and min/max/count aggregates (no float accumulation) prove it."""
+    from eggopress import generic
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(SCRATCH, f"gemb2_{key}")
+    if not os.path.exists(os.path.join(path, "_meta.json")):
+        generic.encode_generic(
+            spark, _t(spark, sf_dir, "embeddings"), path,
+            cluster_by=("label", "vec_id"), n_partitions=4)
+    dec = generic.decode_generic(spark, path)
+    return dec.groupBy((F.col("vec_id") % 16).alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.sum("vec_id").alias("sum_vid"),
+        F.sum(F.size("embedding")).alias("dims"),
+        F.min(F.array_min("embedding")).alias("emb_min"),
+        F.max(F.array_max("embedding")).alias("emb_max"),
+        F.sum("label").alias("sum_label"),
+    )
+
+
 def _q_lineitem_stats_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only COUNT/SUM/MIN/MAX over the generic lineitem table:
     answered from chunk stats columns alone, no blob decoded (the
@@ -801,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p2_doc_lookup": _q_doc_lookup,
         "agg_lineitem_stats_pushdown": _q_lineitem_stats_pushdown,
         "c7_events_roundtrip": _q_events_roundtrip,
+        "c7_embeddings_roundtrip": _q_embeddings_roundtrip,
         "c6_codec_selection": _q_codec_selection,
         "v1_lineage": _q_lineage,
         "p2_predicate_decode": _q_predicate_decode,
@@ -903,6 +928,15 @@ def oracle_sql() -> dict[str, str]:
                    strftime(min(ts), '%Y-%m-%d-%H:%M:%S') AS min_ts,
                    strftime(max(ts), '%Y-%m-%d-%H:%M:%S') AS max_ts
             FROM events GROUP BY 1
+        """,
+        "c7_embeddings_roundtrip": """
+            SELECT vec_id % 16 AS bucket, count(*) AS n,
+                   cast(sum(vec_id) as bigint) AS sum_vid,
+                   cast(sum(len(embedding)) as bigint) AS dims,
+                   min(list_min(embedding)) AS emb_min,
+                   max(list_max(embedding)) AS emb_max,
+                   cast(sum(label) as bigint) AS sum_label
+            FROM embeddings GROUP BY 1
         """,
         "agg_lineitem_stats_pushdown": """
             SELECT count(*) AS n_rows,

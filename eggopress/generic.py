@@ -64,6 +64,7 @@ _KINDS = {
     "f32": (False, 4), "f64": (False, 8),
     "ts": (True, 8), "date": (True, 4),
     "str": (False, None), "list_int": (False, None),
+    "list_f32": (False, None), "list_f64": (False, None),
 }
 
 
@@ -89,6 +90,10 @@ def _colkind(dt: T.DataType) -> str:
     if isinstance(dt, T.ArrayType) and isinstance(dt.elementType, _INT_TYPES):
         # containsNull may be declared; density is enforced per chunk
         return "list_int"
+    if isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.FloatType):
+        return "list_f32"
+    if isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.DoubleType):
+        return "list_f64"
     raise ValueError(f"unsupported column type for generic encode: {dt}")
 
 
@@ -142,16 +147,25 @@ def _encode_column(name: str, kind: str,
         lengths, buf = _string_parts(arr)
         blob = codecs.encode_strs(lengths, buf)
         return blob, len(buf) + 4 * n, codecs.codec_of(blob)
-    if kind == "list_int":
+    if kind in ("list_int", "list_f32", "list_f64"):
         values = arr.flatten()
         _check_dense(name, values)
-        flat = values.to_numpy(zero_copy_only=False).astype(
-            np.int64, copy=False)
+        raw_vals = values.to_numpy(zero_copy_only=False)
+        if kind == "list_f32":
+            flat = raw_vals.astype(np.float32, copy=False).view(
+                np.int32).astype(np.int64)
+            vw = 4
+        elif kind == "list_f64":
+            flat = raw_vals.astype(np.float64, copy=False).view(np.int64)
+            vw = 8
+        else:
+            flat = raw_vals.astype(np.int64, copy=False)
+            vw = 8
         offs = np.asarray(arr.offsets)
         lengths = np.diff(offs).astype(np.int64)
         val_blob = codecs.encode_ints(flat)
         blob = _frame2(codecs.encode_ints(lengths), val_blob)
-        return blob, 8 * len(flat) + 4 * n, codecs.codec_of(val_blob)
+        return blob, vw * len(flat) + 4 * n, codecs.codec_of(val_blob)
     raise AssertionError(kind)
 
 
@@ -188,15 +202,23 @@ def _decode_column(kind: str, blob: bytes, field: pa.Field) -> pa.Array:
         return pa.array(bits.view(np.float32), type=pa.float32())
     if kind == "str":
         return _string_from_parts(*codecs.decode_strs(blob))
-    if kind == "list_int":
+    if kind in ("list_int", "list_f32", "list_f64"):
         len_blob, val_blob = _unframe2(blob)
         lengths = codecs.decode_ints(len_blob)
-        values = codecs.decode_ints(val_blob)
+        ints = codecs.decode_ints(val_blob)
+        if kind == "list_f32":
+            values = pa.array(ints.astype(np.int32).view(np.float32),
+                              type=pa.float32())
+        elif kind == "list_f64":
+            values = pa.array(ints.view(np.float64), type=pa.float64())
+        else:
+            values = pa.array(ints, type=pa.int64()).cast(
+                field.type.value_type)
         offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
         np.cumsum(lengths, out=offsets[1:])
         return pa.ListArray.from_arrays(
             pa.array(offsets, type=pa.int64()).cast(pa.int32()),
-            pa.array(values, type=pa.int64()).cast(field.type.value_type),
+            values,
         ).cast(field.type)
     raise AssertionError(kind)
 

@@ -160,6 +160,29 @@ def test_exotic_types_roundtrip(spark, tmp_path):
     assert pack(b).exceptAll(pack(a)).count() == 0
 
 
+def test_float_array_roundtrip_bit_identical(spark, tmp_path):
+    """array<float> / array<double> columns travel as IEEE bit patterns
+    — the embeddings-table case — and round-trip exactly."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "emb")
+    generic.encode_generic(spark, emb, path, n_partitions=2)
+    dec = generic.decode_generic(spark, path)
+    assert dec.schema == emb.schema
+    pack = lambda x: x.select(F.struct(*sorted(x.columns)).alias("r"))
+    assert pack(dec).exceptAll(pack(emb)).count() == 0
+    assert pack(emb).exceptAll(pack(dec)).count() == 0
+
+    d64 = spark.createDataFrame(
+        [(i, [float(i) / 3.0, -1.5e300, 0.0][: (i % 3) + 1])
+         for i in range(100)],
+        "i long, xs array<double>")
+    p2 = str(tmp_path / "d64")
+    generic.encode_generic(spark, d64, p2)
+    back = generic.decode_generic(spark, p2)
+    assert pack(back).exceptAll(pack(d64)).count() == 0
+    assert pack(d64).exceptAll(pack(back)).count() == 0
+
+
 def test_nulls_and_unsupported_types_rejected(spark, tmp_path):
     with pytest.raises(Exception, match="dense-only"):
         generic.encode_generic(
