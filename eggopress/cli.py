@@ -159,6 +159,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     gen.add_argument("--cluster-by", default=None,
                      help="comma-separated columns to range-sort by "
                           "before encode (the clustering-for-ratio trade)")
+    gen.add_argument("--cluster-mode", choices=["range", "zorder"],
+                     default="range",
+                     help="zorder = Morton key over the cluster columns "
+                          "(multi-dimensional chunk pruning)")
 
     gdc = sub.add_parser("generic-decode",
                          help="decode a generic table back to parquet")
@@ -166,6 +170,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     gdc.add_argument("--output", required=True)
     gdc.add_argument("--columns", default=None,
                      help="comma-separated projection (blob-level pruning)")
+
+    idx = sub.add_parser("index", help="build the doc_id random-access "
+                                       "index (index/docmap/)")
+    idx.add_argument("--table", required=True)
+
+    lku = sub.add_parser("lookup", help="fetch documents by doc_id through "
+                                        "the docmap index")
+    lku.add_argument("--table", required=True)
+    lku.add_argument("--ids", required=True,
+                     help="comma-separated doc_ids")
+    lku.add_argument("--output", default=None,
+                     help="parquet destination (default: print count only)")
 
     pln = sub.add_parser("plan", help="print submit settings for a cluster shape")
     pln.add_argument("--workers", type=int, required=True)
@@ -316,7 +332,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             ) if args.cluster_by else None
             totals = generic.encode_generic(
                 spark, spark.read.parquet(args.input), args.table,
-                n_partitions=args.partitions, cluster_by=cluster_by)
+                n_partitions=args.partitions, cluster_by=cluster_by,
+                cluster_mode=args.cluster_mode)
             print(json.dumps(totals))
         elif args.cmd == "generic-decode":
             from eggopress import generic
@@ -327,6 +344,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             df.write.mode("overwrite").parquet(args.output)
             print(json.dumps({"output": args.output,
                               "rows": spark.read.parquet(args.output).count()}))
+        elif args.cmd == "index":
+            from eggopress import decode
+
+            print(json.dumps(decode.build_doc_index(spark, args.table)))
+        elif args.cmd == "lookup":
+            from eggopress import decode
+
+            ids = [i.strip() for i in args.ids.split(",") if i.strip()]
+            df = decode.lookup_docs(spark, args.table, ids)
+            if args.output:
+                df.write.mode("overwrite").parquet(args.output)
+            print(json.dumps({"requested": len(ids), "found": df.count(),
+                              "output": args.output}))
     finally:
         if owns_session:
             spark.stop()
