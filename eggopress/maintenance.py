@@ -139,7 +139,9 @@ def vacuum_table(table_path: str, *, keep_snapshots: int = 10) -> dict:
     freed = 0
     if os.path.isdir(tbl.path):
         for ent in list(os.listdir(tbl.path)):
-            if ent.startswith("_retired_"):
+            # _index_staging_*: crash leftovers of a sidecar-index merge
+            # (success renames them away atomically)
+            if ent.startswith("_retired_") or ent.startswith("_index_staging_"):
                 p = os.path.join(tbl.path, ent)
                 freed += sum(
                     os.path.getsize(os.path.join(r, f))
