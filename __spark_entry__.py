@@ -31,7 +31,7 @@ def _roundtrip_table(spark: SparkSession, sf_dir: str) -> str:
     from eggopress.pipeline import textstats
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = os.path.join(SCRATCH, f"rt2_{key}")  # rt2: chunk schema gained min/max stats
+    path = os.path.join(SCRATCH, f"rt3_{key}")  # rt3: delta codec joined the candidate set
     from eggopress.tablefmt import Table
 
     if Table(path).snapshot() is None or (Table(path).snapshot() or {}).get("stage") != "encoded":
@@ -114,7 +114,7 @@ def _generic_lineitem_table(spark: SparkSession, sf_dir: str) -> str:
     from eggopress import generic
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = os.path.join(SCRATCH, f"gli2_{key}")  # gli2: chunks gained __sum stats
+    path = os.path.join(SCRATCH, f"gli3_{key}")  # gli3: delta codec joined the candidate set
     if not os.path.exists(os.path.join(path, "_meta.json")):
         li = _t(spark, sf_dir, "lineitem")
         generic.encode_generic(
@@ -172,7 +172,7 @@ def _q_events_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eggopress import generic
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = os.path.join(SCRATCH, f"gev2_{key}")
+    path = os.path.join(SCRATCH, f"gev3_{key}")
     if not os.path.exists(os.path.join(path, "_meta.json")):
         generic.encode_generic(
             spark, _t(spark, sf_dir, "events"), path,
@@ -199,7 +199,7 @@ def _q_embeddings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eggopress import generic
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = os.path.join(SCRATCH, f"gemb2_{key}")
+    path = os.path.join(SCRATCH, f"gemb3_{key}")
     if not os.path.exists(os.path.join(path, "_meta.json")):
         generic.encode_generic(
             spark, _t(spark, sf_dir, "embeddings"), path,

@@ -193,6 +193,64 @@ def dec_dict(header: dict, payload: bytes) -> np.ndarray:
     return dict_values[codes]
 
 
+# -------------------------------------------------------------- delta
+
+def enc_delta(arr: np.ndarray) -> bytes:
+    """Delta coding for sorted/near-sorted streams (monotone keys,
+    clustered timestamps): zigzag the successive differences and feed
+    them to the FOR sub-encoder — a sorted key column collapses to its
+    step sizes (~1-2 bits/value where FOR needs the full value width).
+    Raises OverflowError on ranges where the diff/zigzag arithmetic
+    could wrap (selection then simply skips the candidate)."""
+    arr = arr.astype(np.int64, copy=False)
+    n = len(arr)
+    if n == 0:
+        return make_blob({"c": "delta", "n": 0, "f": 0, "sp": 0}, b"")
+    if n > 1:
+        lo, hi = int(arr.min()), int(arr.max())
+        # |diff| <= hi-lo must survive <<1 zigzag in int64
+        if hi - lo >= (1 << 62):
+            raise OverflowError("delta: value range too wide for zigzag")
+    d = np.diff(arr)
+    zig = (d >> 63) ^ (d << 1)
+    sub_cands = ("plain", "forbp", "pfor", "rle")
+    if n > 1 and int(zig.max()) >= (1 << 32):
+        # wide diffs (a few big section jumps among small steps) overflow
+        # the 32-bit-residual FOR/PFOR cap — split the zigzag stream into
+        # 32-bit planes; the high plane is almost all zeros and collapses
+        # under its own selection
+        lo32 = (zig & np.int64(0xFFFFFFFF))
+        hi32 = (zig >> np.int64(32))
+        payload = pack_parts([
+            encode_ints(lo32, candidates=sub_cands),
+            encode_ints(hi32, candidates=sub_cands),
+        ])
+        return make_blob({"c": "delta", "n": int(n), "f": int(arr[0]),
+                          "sp": 1}, payload)
+    sub = encode_ints(zig, candidates=sub_cands) if n > 1 else b""
+    return make_blob({"c": "delta", "n": int(n), "f": int(arr[0]), "sp": 0},
+                     sub)
+
+
+def dec_delta(header: dict, payload: bytes) -> np.ndarray:
+    n = header["n"]
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    out = np.empty(n, dtype=np.int64)
+    out[0] = header["f"]
+    if n > 1:
+        if header.get("sp"):
+            lo_blob, hi_blob = unpack_parts(payload)
+            zig = (decode_ints(hi_blob) << np.int64(32)) | \
+                decode_ints(lo_blob)
+        else:
+            zig = decode_ints(payload)
+        d = (zig >> 1) ^ -(zig & 1)
+        np.cumsum(d, out=out[1:])
+        out[1:] += header["f"]
+    return out
+
+
 # ----------------------------------------------------- selection (C6)
 
 def _enc_sub(arr: np.ndarray) -> bytes:
@@ -213,6 +271,7 @@ _ENCODERS = {
     "pfor": enc_pfor,
     "rle": enc_rle,
     "dict": enc_dict,
+    "delta": enc_delta,
 }
 _DECODERS = {
     "plain": dec_plain,
@@ -220,6 +279,7 @@ _DECODERS = {
     "pfor": dec_pfor,
     "rle": dec_rle,
     "dict": dec_dict,
+    "delta": dec_delta,
 }
 INT_CODECS = tuple(_ENCODERS)
 
@@ -257,6 +317,17 @@ def encode_ints(arr: np.ndarray, candidates: tuple[str, ...] = INT_CODECS) -> by
         except OverflowError:
             continue
     sizes.sort()
+    # delta must win DECISIVELY (<= 0.7x the best alternative): its
+    # output is high-entropy (zigzag steps), so a narrow pre-storage win
+    # over plain/forbp turns into an on-disk LOSS once the blob parquet's
+    # page compression sees the bytes — observed on IEEE-bit-pattern
+    # double streams, where sampled delta edged plain by ~12% and grew
+    # the stored table. Sorted key/timestamp streams win 2-10x and keep
+    # the codec.
+    if sizes and sizes[0][1] == "delta":
+        others = [s_ for s_ in sizes if s_[1] != "delta"]
+        if others and sizes[0][0] > 0.7 * others[0][0]:
+            sizes.pop(0)
     # speed tie-break: forbp is the cheapest real codec; within 2% of a
     # pfor/dict winner's sampled size, take forbp (deterministic)
     if sizes and sizes[0][1] in ("pfor", "dict"):

@@ -9,10 +9,12 @@ import pytest
 from eggopress.codecs import core
 from eggopress.codecs import bitpack, fsst
 from eggopress.codecs.intcodecs import (
+    dec_delta,
     dec_dict,
     dec_forbp,
     dec_plain,
     dec_rle,
+    enc_delta,
     enc_dict,
     enc_forbp,
     enc_plain,
@@ -51,8 +53,9 @@ def test_int_auto_roundtrip(name):
 @pytest.mark.parametrize("name", list(INT_CASES))
 @pytest.mark.parametrize(
     "enc,dec",
-    [(enc_plain, dec_plain), (enc_forbp, dec_forbp), (enc_rle, dec_rle), (enc_dict, dec_dict)],
-    ids=["plain", "forbp", "rle", "dict"],
+    [(enc_plain, dec_plain), (enc_forbp, dec_forbp), (enc_rle, dec_rle),
+     (enc_dict, dec_dict), (enc_delta, dec_delta)],
+    ids=["plain", "forbp", "rle", "dict", "delta"],
 )
 def test_each_int_codec_roundtrip(name, enc, dec):
     arr = INT_CASES[name]
@@ -61,11 +64,34 @@ def test_each_int_codec_roundtrip(name, enc, dec):
     except OverflowError:
         pytest.skip("residual too wide for this codec (falls back in auto)")
     header, payload = split_blob(blob)
-    if header["c"] in ("rle", "dict"):
+    if header["c"] in ("rle", "dict", "delta"):
         out = core.decode_ints(blob)
     else:
         out = dec(header, payload)
     np.testing.assert_array_equal(out, arr.astype(np.int64))
+
+
+def test_delta_wins_sorted_streams():
+    """A sorted key stream must select delta and land far below forbp
+    (the step sizes, not the value widths, set the bit cost); the
+    zigzag handles descending runs; extreme ranges skip the candidate
+    via OverflowError instead of wrapping."""
+    sorted_keys = np.sort(RNG.integers(0, 2**40, 50_000)).astype(np.int64)
+    blob = core.encode_ints(sorted_keys)
+    assert core.codec_of(blob) == "delta"
+    np.testing.assert_array_equal(core.decode_ints(blob), sorted_keys)
+    # values are ~40-bit, steps are ~24-bit: delta must land well under
+    # the plain fallback a bare FOR overflows into on this range
+    assert len(blob) < 0.5 * len(enc_plain(sorted_keys))
+
+    desc = sorted_keys[::-1].copy()
+    np.testing.assert_array_equal(core.decode_ints(core.encode_ints(desc)), desc)
+
+    wide = np.array([-(2**62), 2**62], dtype=np.int64)
+    with pytest.raises(OverflowError):
+        enc_delta(wide)
+    np.testing.assert_array_equal(  # auto path skips delta, still exact
+        core.decode_ints(core.encode_ints(wide)), wide)
 
 
 def test_selection_deterministic_and_beats_plain():

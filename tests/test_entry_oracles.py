@@ -97,8 +97,10 @@ def test_c6_codec_selection_deterministic_and_optimal(spark):
     byte-identically — determinism, the property resume correctness
     hangs on; (b) the chosen blob is within the documented 2% forbp
     tie-break of the best full-size candidate encoding and never larger
-    than plain — optimality; (c) the manifest's recorded codec equals the
-    blob header's."""
+    than plain — optimality (the plain ceiling also covers the delta
+    decisive-win rule: a narrowly-best delta is deliberately declined
+    because its high-entropy output loses the post-storage byte war);
+    (c) the manifest's recorded codec equals the blob header's."""
     from eggopress.codecs import core as codecs
     from eggopress.codecs import intcodecs, strcodecs
     from eggopress.tablefmt import Table
