@@ -133,11 +133,22 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
             "reference_parquet_write",
             lambda: verify.parquet_reference_bytes(corpus, os.path.join(SCRATCH, f"ref_{cpus}")),
         )
+        # like-for-like storage-codec arm: the engine stores its chunk
+        # files with zstd (conf.data_codec), so publish the ratio against
+        # a zstd reference too, not just the snappy-era default
+        ref_z = timed(
+            "reference_parquet_write_zstd",
+            lambda: verify.parquet_reference_bytes(
+                corpus, os.path.join(SCRATCH, f"ref_{cpus}"), "zstd"),
+        )
         from eggopress.tablefmt import Table
 
         extras["on_disk_bytes"] = Table(table).tree_bytes("data")
         extras["reference_parquet_bytes"] = ref
         extras["ratio_vs_reference"] = round(ref / max(extras["on_disk_bytes"], 1), 4)
+        extras["reference_parquet_zstd_bytes"] = ref_z
+        extras["ratio_vs_reference_zstd"] = round(
+            ref_z / max(extras["on_disk_bytes"], 1), 4)
         extras["on_disk_bytes_nocluster"] = Table(table_nc).tree_bytes("data")
         extras["ratio_vs_reference_nocluster"] = round(
             ref / max(extras["on_disk_bytes_nocluster"], 1), 4)

@@ -46,6 +46,20 @@ def chunk_rows_default() -> int:
     return int(os.environ.get("EGGOPRESS_CHUNK_ROWS", "8192"))
 
 
+def data_codec() -> str:
+    """Parquet page compression for the chunk-blob data files.
+
+    zstd default — a MEASURED choice, not an assumption: the original
+    'codec blobs are already compressed, write uncompressed' reasoning
+    was falsified at 40% (zstd page compression over the written chunk
+    files shrank the bench corpus data dir 20.6 -> 12.4 MB; snappy 27%).
+    Per-chunk codecs can't see redundancy ACROSS rows/chunks inside a
+    page — repeated doc prefixes, FSST symbol tables, correlated pfor
+    side streams — and zstd can. Override with EGGOPRESS_DATA_CODEC
+    (e.g. 'uncompressed' to trade ratio back for decode CPU)."""
+    return os.environ.get("EGGOPRESS_DATA_CODEC", "zstd")
+
+
 def local_cores() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4)))
 

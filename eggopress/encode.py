@@ -309,7 +309,7 @@ def encode_table(
             try:
                 (
                     enc.write.partitionBy("source", "salt")
-                    .option("compression", "uncompressed")
+                    .option("compression", conf.data_codec())
                     .mode("overwrite")
                     .parquet(staging)
                 )
@@ -452,7 +452,7 @@ def encode_append(spark: SparkSession, df: DataFrame, table_path: str, *,
             CHUNK_SCHEMA,
         )
         .write.partitionBy("source", "salt")
-        .option("compression", "uncompressed")
+        .option("compression", conf.data_codec())
         .mode("overwrite")
         .parquet(staging)
     )

@@ -382,7 +382,8 @@ def encode_generic(spark: SparkSession, df: DataFrame, path: str, *,
 
     encoded = df.mapInArrow(encode_fn, spark_chunk_schema)
     data_dir = os.path.join(path, "data")
-    encoded.write.mode("overwrite").parquet(data_dir)
+    encoded.write.mode("overwrite").option(
+        "compression", conf.data_codec()).parquet(data_dir)
 
     chunks = spark.read.parquet(data_dir)
     tot = chunks.agg(

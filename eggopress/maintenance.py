@@ -22,7 +22,7 @@ import uuid
 
 from pyspark.sql import SparkSession, functions as F
 
-from eggopress import lineage as lineagelib
+from eggopress import conf, lineage as lineagelib
 from eggopress.tablefmt import Table
 
 
@@ -354,7 +354,7 @@ def compact_table(spark: SparkSession, table_path: str, *,
     (
         chunks.repartition("source", "salt")
         .write.partitionBy("source", "salt")
-        .option("compression", "uncompressed")
+        .option("compression", conf.data_codec())
         .mode("overwrite")
         .parquet(staging)
     )

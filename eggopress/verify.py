@@ -58,10 +58,16 @@ def roundtrip_ok(original: DataFrame, decoded: DataFrame) -> bool:
     return o.exceptAll(d).unionAll(d.exceptAll(o)).limit(1).count() == 0
 
 
-def parquet_reference_bytes(df: DataFrame, scratch_dir: str) -> int:
-    """Size of df written as default-snappy Parquet (the reference size)."""
-    path = os.path.join(scratch_dir, "reference_parquet")
-    df.write.mode("overwrite").parquet(path)
+def parquet_reference_bytes(df: DataFrame, scratch_dir: str,
+                            compression: str | None = None) -> int:
+    """Size of df written as reference Parquet — default snappy (what the
+    reference-era STORED AS PARQUET produced); pass compression='zstd'
+    for the like-for-like storage-codec arm."""
+    path = os.path.join(scratch_dir, f"reference_parquet_{compression or 'snappy'}")
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.parquet(path)
     total = 0
     for root, _, files in os.walk(path):
         for f in files:
