@@ -228,6 +228,33 @@ def seen_signatures(spark: SparkSession, table_path: str,
     return spark.read.parquet(*dirs).select("doc_id", "simhash")
 
 
+def _docmap_fn(batches):
+    """(chunk_id, doc_id_blob) chunk rows -> (doc_id, chunk_id) pairs;
+    only the doc_id stream decodes."""
+    import numpy as _np
+    import pyarrow as _pa
+
+    from eggopress.chunk import _string_from_parts
+    from eggopress.codecs import core as _codecs
+
+    for batch in batches:
+        ids, cids = [], []
+        for i in range(batch.num_rows):
+            lengths, buf = _codecs.decode_strs(
+                batch.column("doc_id_blob")[i].as_py())
+            arr = _string_from_parts(lengths, buf)
+            ids.append(arr)
+            cids.append(_np.full(len(arr),
+                                 batch.column("chunk_id")[i].as_py(),
+                                 dtype=_np.int64))
+        if ids:
+            yield _pa.RecordBatch.from_arrays(
+                [_pa.concat_arrays(ids),
+                 _pa.array(_np.concatenate(cids), type=_pa.int64())],
+                names=["doc_id", "chunk_id"],
+            )
+
+
 def build_doc_index(spark: SparkSession, table_path: str) -> dict:
     """Build the doc_id -> chunk random-access index (index/docmap/):
     one skinny (doc_id, chunk_id) row per document, hash-partitioned
@@ -242,33 +269,7 @@ def build_doc_index(spark: SparkSession, table_path: str) -> dict:
     tbl = Table(table_path)
     version = tbl.current_version()
     enc = read_encoded(spark, table_path).select("chunk_id", "doc_id_blob")
-
-    def fn(batches):
-        import numpy as _np
-        import pyarrow as _pa
-
-        from eggopress.codecs import core as _codecs
-
-        for batch in batches:
-            ids, cids = [], []
-            for i in range(batch.num_rows):
-                lengths, buf = _codecs.decode_strs(
-                    batch.column("doc_id_blob")[i].as_py())
-                from eggopress.chunk import _string_from_parts
-
-                arr = _string_from_parts(lengths, buf)
-                ids.append(arr)
-                cids.append(_np.full(len(arr),
-                                     batch.column("chunk_id")[i].as_py(),
-                                     dtype=_np.int64))
-            if ids:
-                yield _pa.RecordBatch.from_arrays(
-                    [_pa.concat_arrays(ids),
-                     _pa.array(_np.concatenate(cids), type=_pa.int64())],
-                    names=["doc_id", "chunk_id"],
-                )
-
-    dm = enc.mapInArrow(fn, "doc_id string, chunk_id long")
+    dm = enc.mapInArrow(_docmap_fn, "doc_id string, chunk_id long")
     data_dir = _os.path.join(tbl.path, "index", "docmap", "data")
     (
         dm.withColumn("pfx", F.pmod(F.xxhash64("doc_id"), F.lit(64)))
@@ -280,6 +281,59 @@ def build_doc_index(spark: SparkSession, table_path: str) -> dict:
         _json.dump(meta, fh)
     _os.replace(tmp, _os.path.join(tbl.path, "index", "docmap", "_meta.json"))
     return meta
+
+
+def update_doc_index(spark: SparkSession, table_path: str) -> dict:
+    """INCREMENTAL docmap maintenance: index only the chunk files added
+    since the version the index was built at (snapshot listing diff —
+    the decode_changes mechanism), append their (doc_id, chunk_id) rows
+    into the existing pfx= layout, and bump the recorded version. Work
+    is O(new data), so a streaming table keeps its random-access index
+    current at per-batch cost instead of rebuilding O(table) after
+    every append. Falls back to a full build when no index exists; a
+    compaction between versions rewrites file names, which the listing
+    diff would misread as all-new — that case rebuilds too (loudly in
+    the returned mode)."""
+    import json as _json
+    import os as _os
+
+    tbl = Table(table_path)
+    meta_path = _os.path.join(tbl.path, "index", "docmap", "_meta.json")
+    if not _os.path.exists(meta_path):
+        out = build_doc_index(spark, table_path)
+        return {**out, "mode": "full_build"}
+    with open(meta_path) as fh:
+        meta = _json.load(fh)
+    cur = tbl.current_version()
+    built = meta["built_at_version"]
+    if built == cur:
+        return {**meta, "mode": "current"}
+    snap = tbl.snapshot() or {}
+    last_compact = snap.get("last_compaction")
+    built_snap_files = set(tbl.listing_at_version(built))
+    cur_files = tbl.files_at_version(cur)
+    if last_compact is not None and not built_snap_files <= set(cur_files):
+        # files the index covered are gone (compacted away): the diff
+        # can no longer attribute rows -> full rebuild
+        out = build_doc_index(spark, table_path)
+        return {**out, "mode": "rebuild_after_compaction"}
+    new = [p for p in cur_files if p not in built_snap_files]
+    if new:
+        enc = spark.read.option("basePath", tbl.data_dir).parquet(*new) \
+            .select("chunk_id", "doc_id_blob")
+        dm = enc.mapInArrow(_docmap_fn, "doc_id string, chunk_id long")
+        data_dir = _os.path.join(tbl.path, "index", "docmap", "data")
+        (
+            dm.withColumn("pfx", F.pmod(F.xxhash64("doc_id"),
+                                        F.lit(meta["pfx_mod"])))
+            .write.partitionBy("pfx").mode("append").parquet(data_dir)
+        )
+    meta = {**meta, "built_at_version": cur}
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump(meta, fh)
+    _os.replace(tmp, meta_path)
+    return {**meta, "mode": "incremental", "new_files": len(new)}
 
 
 def lookup_docs(spark: SparkSession, table_path: str, ids: list[str],
