@@ -579,6 +579,20 @@ def _q_pack_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word
+    n-gram with the (tiny, broadcast) benchmark set — the
+    eval-overlap audit every shipping pipeline runs."""
+    from eggopress.pipeline import textstats
+
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "concat(source, '-', lpad(cast(doc_id as string), 10, '0')) as doc_id",
+        "text")
+    bench = _t(spark, sf_dir, "documents").filter("doc_id % 151 = 0") \
+        .select("text")
+    return textstats.decontaminate(docs, bench, n=5)
+
+
 def _q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary histogram via per-partition bincount partial aggregation."""
     from eggopress.pipeline import textstats
@@ -863,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_source_sample": _q_source_sample,
         "text_pack_sequences": _q_pack_sequences,
         "text_pack_materialized": _q_pack_materialized,
+        "text_decontaminate": _q_decontaminate,
         "text_token_cardinality": _q_token_cardinality,
         "multimodal_features": _q_multimodal,
         "multimodal_resize": _q_multimodal_resize,
@@ -1070,6 +1085,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_pack_sequences": textstats.pack_rollup_oracle(256),
         "text_pack_materialized": textstats.pack_checksum_oracle(256),
+        "text_decontaminate": textstats.decontaminate_oracle(5),
         "text_token_cardinality": textstats.token_cardinality_oracle(64),
         "multimodal_features": multimodal.FEATURES_ORACLE,
         "multimodal_resize": multimodal.resize_oracle(8, 6),

@@ -424,6 +424,90 @@ GROUP BY 1, 2
 """
 
 
+def _ngrams_spark(n: int) -> str:
+    """Distinct word n-gram strings of a doc (docs shorter than n words
+    contribute none) over a staged `_w` words array."""
+    return (
+        f"case when size(_w) >= {n} then "
+        f"array_distinct(transform(sequence(1, size(_w) - {n} + 1), "
+        f"i -> concat_ws(' ', slice(_w, i, {n})))) "
+        f"else array() end"
+    )
+
+
+def _ngrams_duck(n: int) -> str:
+    return (
+        f"case when len({WORDS_DUCK}) >= {n} then "
+        f"list_distinct(list_transform(generate_series(1, len({WORDS_DUCK}) - {n} + 1), "
+        f"i -> array_to_string(({WORDS_DUCK})[i:i+{n - 1}], ' '))) "
+        f"else [] end"
+    )
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  n: int = 13) -> DataFrame:
+    """Benchmark decontamination — the flag-eval-overlap pass every
+    serious training pipeline runs before the data ships: a document is
+    CONTAMINATED if it shares at least one word n-gram (the classic
+    13-gram rule; n is a knob) with any benchmark text. Returns
+    (doc_id, n_hits) for flagged docs; callers anti-join to drop, or
+    keep the report for audit.
+
+    Scale shape: the benchmark side is tiny by nature (eval sets are
+    thousands of docs, the corpus is billions), so its distinct gram
+    hashes BROADCAST and the corpus side never shuffles — one narrow
+    pass explodes each doc's distinct grams, probes the broadcast set,
+    and a bounded groupBy(doc_id) counts hits (rows entering it are
+    bounded by actual matches, not corpus size). Grams are matched on
+    the dialect-identical 64-bit md5 hash — carried as TWO 32-bit
+    columns (an int64 combine of two 32-bit halves overflows in both
+    ANSI dialects) — so the operator has an exact SQL oracle."""
+    if n < 1:
+        raise ValueError(f"n must be positive: {n}")
+
+    def grams(df: DataFrame, keep_id: bool) -> DataFrame:
+        staged = df.selectExpr(
+            *(["doc_id"] if keep_id else []),
+            f"{WORDS_SPARK} as _w",
+        ).selectExpr(
+            *(["doc_id"] if keep_id else []),
+            f"explode({_ngrams_spark(n)}) as g",
+        )
+        cols = (["doc_id"] if keep_id else []) + [
+            F.expr(h32_spark("g")).alias("gh1"),
+            F.expr(h32b_spark("g")).alias("gh2"),
+        ]
+        return staged.select(*cols)
+
+    bench = grams(benchmark, keep_id=False).distinct()
+    return (
+        grams(docs, keep_id=True)
+        .join(F.broadcast(bench), ["gh1", "gh2"])
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gh1", "gh2").alias("n_hits"))
+    )
+
+
+def decontaminate_oracle(n: int = 13,
+                         bench_where: str = "doc_id % 151 = 0") -> str:
+    return f"""
+WITH bench AS (
+  SELECT DISTINCT {h32_duck('gram')} AS gh1, {h32b_duck('gram')} AS gh2
+  FROM (SELECT unnest({_ngrams_duck(n)}) AS gram
+        FROM documents WHERE {bench_where})
+), dg AS (
+  SELECT doc_id, {h32_duck('gram')} AS gh1, {h32b_duck('gram')} AS gh2
+  FROM (SELECT concat(source, '-', lpad(cast(doc_id as varchar), 10, '0')) AS doc_id,
+               unnest({_ngrams_duck(n)}) AS gram
+        FROM documents)
+)
+SELECT doc_id,
+       cast(count(DISTINCT dg.gh1 || ':' || dg.gh2) as bigint) AS n_hits
+FROM dg JOIN bench ON dg.gh1 = bench.gh1 AND dg.gh2 = bench.gh2
+GROUP BY doc_id
+"""
+
+
 def pack_checksum_oracle(ctx: int = 2048) -> str:
     """Order-sensitive per-pack checksum over the MATERIALIZED packs:
     every token's global position maps to (pack_id, position-in-pack),

@@ -601,6 +601,32 @@ def test_sample_corpus_quoted_source_name(spark):
     assert duck_kept == {r["doc_id"] for r in kept.select("doc_id").collect()}
 
 
+def test_decontaminate_flags_overlap_only(spark):
+    """A doc embedding a benchmark passage verbatim is flagged with the
+    right hit count; reworded text sharing no n-gram is not; docs
+    shorter than n grams are never flagged."""
+    from eggopress.pipeline import textstats
+
+    bench = spark.createDataFrame(
+        [("the secret benchmark passage about unusual zebras dancing",)],
+        "text string")
+    docs = spark.createDataFrame(
+        [("clean", "a completely unrelated document about cooking pasta "
+                   "with tomatoes and basil at home"),
+         ("dirty", "intro words then the secret benchmark passage about "
+                   "unusual zebras dancing plus trailing text"),
+         ("reworded", "a secret passage about benchmark zebras that were "
+                      "unusual and dancing around"),
+         ("tiny", "too short")],
+        "doc_id string, text string")
+    got = {r["doc_id"]: r["n_hits"] for r in
+           textstats.decontaminate(docs, bench, n=5).collect()}
+    # the 8-word benchmark text has 4 distinct 5-grams, all inside 'dirty'
+    assert got == {"dirty": 4}
+    with pytest.raises(ValueError):
+        textstats.decontaminate(docs, bench, n=0)
+
+
 def test_pack_sequences_invariants(spark, docs):
     """Packing = concat-then-chunk: offsets stay inside the context
     window, pack ids are the exact prefix-sum quotients, and totals are
