@@ -76,6 +76,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                           "exact copies are pre-collapsed regardless")
     tst.add_argument("--min-words", type=int, default=None,
                      help="quality gate: drop docs with fewer words")
+    tst.add_argument("--decontaminate", default=None, metavar="BENCH_JSONL",
+                     help="drop docs sharing any n-gram with this "
+                          "benchmark jsonl (eval-overlap removal)")
+    tst.add_argument("--decontaminate-ngram", type=int, default=13)
     tst.add_argument("--sample", default=None,
                      help="per-source keep fractions, e.g. 'web=0.1,wiki=1.0' "
                           "(deterministic hash-threshold domain mixing)")
@@ -244,6 +248,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 dedup=args.dedup,
                 max_bucket_rows=args.max_bucket_rows or None,
                 min_words=args.min_words,
+                decontaminate_path=args.decontaminate,
+                decontaminate_ngram=args.decontaminate_ngram,
                 sample=sample, sample_default=args.sample_default,
             )
             print(json.dumps(result, default=str))

@@ -43,6 +43,8 @@ def toast(
     dedup: str | None = None,
     max_bucket_rows: int | None = 10_000,
     min_words: int | None = None,
+    decontaminate_path: str | None = None,
+    decontaminate_ngram: int = 13,
     sample: dict[str, float] | None = None,
     sample_default: float = 1.0,
 ) -> dict:
@@ -69,8 +71,12 @@ def toast(
     quality gate every training pipeline runs); sample={source: frac}
     applies deterministic per-source downsampling (domain mixing, see
     textstats.sample_corpus) to whatever survives dedup and the quality
-    gate. All curation steps are pure functions of content, so resume
-    (and the verify stage's re-derivation) see the identical corpus."""
+    gate. decontaminate_path points at a benchmark jsonl ({"text": ...}
+    per line); docs sharing any decontaminate_ngram-word n-gram with it
+    are dropped before encode (eval-overlap removal, see
+    textstats.decontaminate). All curation steps are pure functions of
+    content, so resume (and the verify stage's re-derivation) see the
+    identical corpus."""
     from eggopress import catalog, decode, ingest, verify
     from eggopress import editions as editionslib
     from eggopress.pipeline import textstats
@@ -119,6 +125,11 @@ def toast(
         if min_words is not None:
             docs = docs.filter(
                 F.expr(f"size({textstats.WORDS_SPARK})") >= min_words)
+        if decontaminate_path is not None:
+            bench = spark.read.json(decontaminate_path).select("text")
+            hits = textstats.decontaminate(
+                docs, bench, n=decontaminate_ngram).select("doc_id")
+            docs = docs.join(hits, "doc_id", "left_anti")
         if sample:
             docs = textstats.sample_corpus(docs, sample, default=sample_default)
         return docs

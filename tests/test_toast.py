@@ -169,6 +169,33 @@ def test_toast_near_dedup_keeps_one_representative(spark, tmp_path):
     assert decode.decode_table(spark, table2, columns=["doc_id"]).count() == 32
 
 
+def test_toast_decontaminate_drops_eval_overlap(spark, tmp_path):
+    """--decontaminate: docs sharing an n-gram with the benchmark jsonl
+    are dropped before encode; clean docs survive; verify still passes
+    (the curated frame feeds both stages)."""
+    bench_text = "the held out evaluation prompt about purple gliders"
+    rows = [{"doc_id": f"c{i:03d}",
+             "text": f"regular training document {i} about topic {i * 7} "
+                     f"with enough words to pass"} for i in range(20)]
+    rows.append({"doc_id": "leak", "text":
+                 f"some crawl page quoting {bench_text} verbatim inside"})
+    src = tmp_path / "dc.jsonl"
+    src.write_text("\n".join(json.dumps(r) for r in rows))
+    bench = tmp_path / "bench.jsonl"
+    bench.write_text(json.dumps({"text": bench_text}))
+
+    table = str(tmp_path / "dc_tbl")
+    rc = cli.main([
+        "toast", "--input", str(src), "--table", table, "--source", "web",
+        "--decontaminate", str(bench), "--decontaminate-ngram", "5",
+    ], spark=spark)
+    assert rc == 0
+    got = {r["doc_id"] for r in
+           decode.decode_table(spark, table, columns=["doc_id"]).collect()}
+    assert "leak" not in got
+    assert len(got) == 20
+
+
 def test_toast_dedup_mega_group_bounded(spark, tmp_path):
     """A planted 1000-copy boilerplate group (explicit doc_ids, so ingest
     content-addressing can NOT collapse it) must cost toast one groupBy
