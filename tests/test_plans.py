@@ -220,3 +220,17 @@ def test_token_predicate_pushes_value_stats_filter(spark, table):
     base = decode.decode_table(spark, table).count()
     assert decode.decode_table(spark, table, token_range=(None, None),
                                n_tok_range=(None, None)).count() == base
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """Scale contract: the benchmark gram set broadcasts (it is tiny by
+    nature); the corpus side must never shuffle into a sort-merge join."""
+    from eggopress.pipeline import textstats
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"some words {i} for the corpus side {i * 3}")
+         for i in range(50)], "doc_id string, text string")
+    bench = spark.createDataFrame([("held out words here",)], "text string")
+    plan = _formatted(textstats.decontaminate(docs, bench, n=3))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
