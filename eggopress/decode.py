@@ -308,15 +308,16 @@ def update_doc_index(spark: SparkSession, table_path: str) -> dict:
     built = meta["built_at_version"]
     if built == cur:
         return {**meta, "mode": "current"}
-    snap = tbl.snapshot() or {}
-    last_compact = snap.get("last_compaction")
     built_snap_files = set(tbl.listing_at_version(built))
     cur_files = tbl.files_at_version(cur)
-    if last_compact is not None and not built_snap_files <= set(cur_files):
-        # files the index covered are gone (compacted away): the diff
-        # can no longer attribute rows -> full rebuild
+    if not built_snap_files <= set(cur_files):
+        # files the index covered are gone — compacted away OR rolled
+        # back: the incremental diff can no longer attribute rows, and
+        # keeping the old rows would leave phantom doc_ids in the index
+        # (benign for lookups thanks to the exact filters, but a lie
+        # about coverage) -> full rebuild
         out = build_doc_index(spark, table_path)
-        return {**out, "mode": "rebuild_after_compaction"}
+        return {**out, "mode": "rebuild_after_rewrite"}
     new = [p for p in cur_files if p not in built_snap_files]
     if new:
         enc = spark.read.option("basePath", tbl.data_dir).parquet(*new) \

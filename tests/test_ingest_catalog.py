@@ -174,7 +174,7 @@ def test_doc_lookup_is_request_proportional(spark, tmp_path):
         table, run_id="lkB")
     maintenance.compact_table(spark, table, min_files=1)
     upd2 = decode.update_doc_index(spark, table)
-    assert upd2["mode"] == "rebuild_after_compaction"
+    assert upd2["mode"] == "rebuild_after_rewrite"
     assert decode.lookup_docs(spark, table, ["extra-000002"]).count() == 1
 
 
