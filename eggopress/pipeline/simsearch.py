@@ -29,6 +29,16 @@ NEARDUP_BANDS = 16
 NEARDUP_BITS = 4
 
 
+def _seq_dot_self(a) -> float:
+    """Sequential left-fold self dot product — the exact IEEE op order of
+    the SQL aggregate() fold (numpy's pairwise summation would differ in
+    the last ulp)."""
+    acc = 0.0
+    for x in a:
+        acc += float(x) * float(x)
+    return acc
+
+
 def _planes_n(n: int, dim: int) -> np.ndarray:
     rng = np.random.default_rng(1234)  # fixed seed: same planes every call
     return rng.integers(-1000, 1001, size=(n, dim)).astype(np.float64) / 1000.0
@@ -310,16 +320,64 @@ def ivf_topk(df: DataFrame, query_vec, k: int = 10, *,
             )
         cents = {int(r["cid"]): [float(x) for x in r["cemb"]] for r in cent_rows}
     cids = sorted(cents)
-    cell_cos = [
-        _cos_spark(EMB_D_SPARK, _vec_lit_spark(cents[cid])) for cid in cids
-    ]
-    # stage the cosine array in its own projection (referenced twice:
-    # max + position) so CollapseProject cannot duplicate the folds
+    # Cell scoring runs as ONE Arrow-vectorized pass instead of n_cells x 3
+    # interpreted aggregate() folds per row (the r06 before-plan's dominant
+    # cost: ~3,000 interpreted lambda steps per row). The numpy loop
+    # accumulates SEQUENTIALLY over dimensions — the exact IEEE op order of
+    # the SQL fold, the same parity trick as _lit_cos_raw/_pair_cos_raw —
+    # and the 6dp round stays in the JVM (F.round), so every rounded
+    # cosine is bit-identical to the previous plan and the oracle. The
+    # query cosine is computed in the SAME pass (the row norm is shared),
+    # so the probe filter's survivors need no second scoring pass.
+    cmat = np.asarray([cents[cid] for cid in cids], dtype=np.float64)
+    qv_np = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    ndim = cmat.shape[1]
+
+    def _score_fn(batches):
+        import pyarrow as pa
+
+        # centroid/query self-dots: sequential python floats, the same
+        # left-fold order as sqrt(dot(b,b)) in the SQL expression
+        cnorm = np.asarray([_seq_dot_self(c) for c in cmat], dtype=np.float64)
+        qnorm = _seq_dot_self(qv_np)
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            emb = batch.column("embedding")
+            flat = emb.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64).reshape(n, -1)
+            if flat.shape[1] != ndim:
+                raise ValueError(
+                    f"ivf: dim mismatch: expected {ndim}, got {flat.shape[1]}")
+            dots = np.zeros((n, len(cmat)), dtype=np.float64)
+            qdot = np.zeros(n, dtype=np.float64)
+            na = np.zeros(n, dtype=np.float64)
+            for i in range(ndim):  # sequential over dims == the SQL fold
+                dots += flat[:, i, None] * cmat[None, :, i]
+                qdot += flat[:, i] * qv_np[i]
+                na += flat[:, i] * flat[:, i]
+            denom = np.sqrt(na)
+            ccos = dots / (denom[:, None] * np.sqrt(cnorm)[None, :])
+            qcos = qdot / (denom * np.sqrt(qnorm))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("vec_id"),
+                 pa.array(list(ccos), type=pa.list_(pa.float64())),
+                 pa.array(qcos)],
+                names=["vec_id", "_ccos_raw", "_qcos_raw"],
+            )
+
+    scored = df.select("vec_id", "embedding").mapInArrow(
+        _score_fn, "vec_id long, _ccos_raw array<double>, _qcos_raw double")
+    # stage the ROUNDED cosine array in its own projection (referenced
+    # twice: max + position) so CollapseProject cannot duplicate it; the
+    # per-element round is n_cells cheap JVM ops per row, not a fold
     assigned = (
-        df.select("vec_id", "embedding",
-                  F.expr("array(" + ", ".join(cell_cos) + ")").alias("_ccos"))
+        scored.select(
+            "vec_id", "_qcos_raw",
+            F.expr("transform(_ccos_raw, x -> round(x, 6))").alias("_ccos"))
         .select(
-            "vec_id", "embedding",
+            "vec_id", "_qcos_raw",
             F.expr(
                 "element_at(array(" + ",".join(str(c) for c in cids) + "), "
                 "cast(array_position(_ccos, array_max(_ccos)) as int))"
@@ -342,7 +400,6 @@ def ivf_topk(df: DataFrame, query_vec, k: int = 10, *,
             nb += y * y
         return round(dot / (math.sqrt(na) * math.sqrt(nb)), 6)
 
-    q = _vec_lit_spark(query_vec)
     qv = [float(x) for x in query_vec]
     # probe ranking driver-side over the collected centroids, same
     # (cos desc, cid asc) ordering as the oracle's probe CTE
@@ -350,7 +407,7 @@ def ivf_topk(df: DataFrame, query_vec, k: int = 10, *,
     probe = sorted(cids, key=lambda c: (-qcos[c], c))[:nprobe]
     return (
         assigned.filter(F.col("cid").isin(probe))
-        .select("vec_id", F.expr(_cos_spark(EMB_D_SPARK, q)).alias("cos"))
+        .select("vec_id", F.round("_qcos_raw", 6).alias("cos"))
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(k)
     )

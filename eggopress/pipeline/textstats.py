@@ -15,6 +15,27 @@ VOCAB = 50_257
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
 FP_MOD = 2_147_483_647
 
+def fan_out(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Scan-parallelism floor for heavy narrow passes (optimization guide
+    §2.5 input skew / §6 split sizing): a single-row-group parquet file
+    scans as ONE task no matter how many cores the cluster has, so per-row
+    work that runs BEFORE the first exchange (shingling, md5/xxhash
+    hashing, tokenize, cosine folds) serializes on one core. When the
+    input has materially fewer partitions than the cluster's parallelism,
+    one cheap round-robin shuffle of the RAW rows (pre-explode, pre-hash —
+    the narrowest the data ever is) fans the work out to every core.
+    No-op when the input is already split at least half as wide as the
+    target (the 100 TB case: thousands of row groups), so this never adds
+    a shuffle at scale. Results of every caller are partition-independent
+    (hashes, per-row projections, aggregations), so the round-robin
+    placement cannot change any query output."""
+    spark = df.sparkSession
+    target = max(spark.sparkContext.defaultParallelism * factor, 1)
+    if df.rdd.getNumPartitions() * 2 <= target:
+        return df.repartition(target)
+    return df
+
+
 # ---- dialect-paired fragments (Spark SQL expr / DuckDB SQL) -------------
 
 WORDS_SPARK = "filter(split(text, ' '), w -> length(w) > 0)"
@@ -78,6 +99,10 @@ def tokenize(df: DataFrame, make_ids: bool = True) -> DataFrame:
         if make_ids
         else "cast(doc_id as string)"
     )
+    # fan out BEFORE the projection: the split/tokenize expressions are the
+    # heavy narrow work, and they must run after the repartition exchange,
+    # not on the (possibly single-task) scan feeding it
+    df = fan_out(df)
     return df.select(
         F.expr(id_expr).alias("doc_id"),
         F.expr(TOKENS_SPARK).alias("tokens"),
@@ -216,7 +241,7 @@ def token_histogram(corpus: DataFrame, min_count: int = 1) -> DataFrame:
         )
 
     return (
-        corpus.select("tokens")
+        fan_out(corpus.select("tokens"))
         .mapInArrow(_hist, "token int, n long")
         .groupBy("token")
         .agg(F.sum("n").alias("n"))
@@ -466,6 +491,7 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
         raise ValueError(f"n must be positive: {n}")
 
     def grams(df: DataFrame, keep_id: bool) -> DataFrame:
+        df = fan_out(df)  # n-gram explode + 2 md5s/gram: heavy narrow work
         staged = df.selectExpr(
             *(["doc_id"] if keep_id else []),
             f"{WORDS_SPARK} as _w",
