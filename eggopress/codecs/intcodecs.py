@@ -44,6 +44,23 @@ def plain_size(n: int) -> int:
     return 4 * n + 40  # payload + approx header
 
 
+def plain_blob_size(arr: np.ndarray) -> int:
+    """EXACT len(enc_plain(arr)) without materializing the payload: the
+    plain-fallback guards in encode_ints/_enc_sub only need the size, and
+    building the real blob costs an O(n) copy per call on every encoded
+    stream (pinned equal to the real thing by the codec test suite)."""
+    import json as _json
+
+    n = len(arr)
+    if arr.dtype == np.int32 or (n and arr.min() >= -(2**31) and arr.max() < 2**31) or n == 0:
+        w = 4
+    else:
+        w = 8
+    hdr = _json.dumps({"c": "plain", "n": n, "w": w},
+                      separators=(",", ":")).encode("utf-8")
+    return 4 + len(hdr) + w * n
+
+
 # ------------------------------------------------- frame-of-reference
 
 def enc_forbp(arr: np.ndarray) -> bytes:
@@ -261,8 +278,7 @@ def _enc_sub(arr: np.ndarray) -> bytes:
         blob = enc_forbp(arr)
     except OverflowError:
         return enc_plain(arr)
-    p = enc_plain(arr)
-    return blob if len(blob) < len(p) else p
+    return blob if len(blob) < plain_blob_size(arr) else enc_plain(arr)
 
 
 _ENCODERS = {
@@ -355,7 +371,7 @@ def encode_ints(arr: np.ndarray, candidates: tuple[str, ...] = INT_CODECS) -> by
                 blob = alt
         except OverflowError:
             pass
-    if len(blob) >= len(enc_plain(arr)):
+    if len(blob) >= plain_blob_size(arr):
         return enc_plain(arr)
     return blob
 

@@ -94,6 +94,27 @@ def prewarm_python_workers(spark) -> None:
 
     n = max(spark.sparkContext.defaultParallelism * 2, 2)
     spark.range(n).repartition(n).mapInArrow(_warm, "id long").count()
+    # ... and the JVM operator machinery: one tiny query through the
+    # common physical operators (hash aggregate, window, sort-merge and
+    # broadcast joins, sort) class-loads and JIT-seeds the shared
+    # execution paths (shuffle writers, codegen compiler, Arrow
+    # serializers). Query-specific generated code still compiles per
+    # query, but the shared infrastructure no longer bills its first-use
+    # cost to whichever real query runs first.
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 7).alias("k"),
+        F.col("id").cast("string").alias("s"))
+    w = Window.partitionBy("k").orderBy("id")
+    (
+        df.withColumn("rn", F.row_number().over(w))
+        .join(df.select(F.col("k"), F.col("id").alias("id2")), "k")
+        .join(F.broadcast(df.select("k").distinct()), "k")
+        .groupBy("k").agg(F.sum("id2").alias("t"))
+        .orderBy("t").count()
+    )
 
 
 def session_builder(app: str, cores: int | None = None, shuffle: int | None = None):

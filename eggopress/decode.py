@@ -360,10 +360,16 @@ def lookup_docs(spark: SparkSession, table_path: str, ids: list[str],
         raise ValueError(
             f"doc index stale (built at v{meta['built_at_version']}, table "
             f"at v{tbl.current_version()}): rebuild with build_doc_index")
-    if not ids:
+    def _empty():
+        # mirror decode_changes: the empty frame re-selects to the
+        # CALLER's column order, so hit and miss paths agree on schema
         want, _ = _resolve_columns(columns)
-        return spark.createDataFrame(
+        out = spark.createDataFrame(
             [], T.StructType([f for f in CORPUS_SCHEMA if f.name in want]))
+        return out.select(*columns) if columns is not None else out
+
+    if not ids:
+        return _empty()
     idf = spark.createDataFrame([(i,) for i in ids], "doc_id string") \
         .withColumn("pfx", F.pmod(F.xxhash64("doc_id"),
                                   F.lit(meta["pfx_mod"])))
@@ -376,9 +382,7 @@ def lookup_docs(spark: SparkSession, table_path: str, ids: list[str],
     chunk_ids = [int(r["chunk_id"]) for r in
                  dm.select("chunk_id").distinct().collect()]
     if not chunk_ids:
-        want, _ = _resolve_columns(columns)
-        return spark.createDataFrame(
-            [], T.StructType([f for f in CORPUS_SCHEMA if f.name in want]))
+        return _empty()
     enc = read_encoded(spark, table_path).filter(
         F.col("chunk_id").isin(chunk_ids))
     eff = columns

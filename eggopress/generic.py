@@ -266,7 +266,14 @@ def _zorder_expr(df: DataFrame, cols: list[str],
                 f"zorder supports int/date columns, got {c!r} ({k})")
     stats = df.agg(*[f(v).alias(f"{i}_{m}") for i, v in enumerate(views)
                      for m, f in (("min", F.min), ("max", F.max))]).first()
-    bits = 16
+    if stats is None or stats[0] is None:
+        raise ValueError("zorder clustering needs a non-empty DataFrame "
+                         "(no rows to derive bucket ranges from)")
+    # 16 bits/col up to 3 columns; 15 at 4 so the top interleaved bit
+    # lands at shift 59, never the int64 sign bit (a sign-bit key would
+    # sort its half of the curve negative-FIRST, rotating the order at
+    # the boundary)
+    bits = 15 if len(cols) == 4 else 16
     buckets = []
     for i, v in enumerate(views):
         lo, hi = int(stats[f"{i}_min"]), int(stats[f"{i}_max"])

@@ -323,15 +323,20 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.6,
                      F.col("hsh").alias("h_b"), F.col("n_sh").alias("nb"))
     if materialize and _scratch_bytes(full) <= _broadcast_cap_bytes():
         # verify-join strategy (guide §3.1): the candidate side is the BIG
-        # side (every near-miss pair), and a shuffled join would move each
-        # candidate row TWICE carrying a ~0.5 KB hash array once the first
-        # attach is done — measured as the dominant cost of this operator
-        # (the r06 decomposition put the verify step at ~10 of 20 s at
-        # sf1.0). When the materialized hash table's ACTUAL on-disk size
-        # fits the broadcast cap, broadcast it on both attaches so
-        # candidate rows never shuffle; past the cap (the 100 TB corpus)
-        # the planner's shuffled join stands, exactly as before.
+        # side (11M near-miss pairs for 2.5k true dups on the sf1.0
+        # bench), and a shuffled join would move each candidate row TWICE
+        # carrying a ~0.5 KB hash array after the first attach — measured
+        # as the dominant cost of the whole operator. When the
+        # materialized hash table's ACTUAL on-disk size fits the
+        # broadcast cap, broadcast it on both attaches so candidate rows
+        # never shuffle; past the cap (the 100 TB corpus) the planner's
+        # shuffled join stands, exactly as before. The skinny pair stream
+        # is round-robin fanned first: AQE coalesces the distinct()'s
+        # ~16 B/row output to 2-3 partitions, which would run the
+        # CPU-bound array_intersect verification nearly serially.
         fa, fb = F.broadcast(fa), F.broadcast(fb)
+        cand = cand.repartition(
+            cand.sparkSession.sparkContext.defaultParallelism * 2)
     result_plan = (
         cand.join(fa, "id_a")
         .join(fb, "id_b")
@@ -467,6 +472,14 @@ def minhash_lsh_pairs(df: DataFrame, max_bucket_rows: int | None = None,
         for j in range(MINHASH_BANDS)
     ]
     banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bucket"))
+    # materialize the banded keys once: the self-join otherwise evaluates
+    # the whole signature pipeline (shingle + md5 + k permutations) in
+    # BOTH join branches — the r06 before-plan shows two separate
+    # MapInArrow subtrees, one under a BroadcastExchange — and the
+    # skinny (doc_id, bucket) frame is ~1% of that work's cost to write.
+    # The scratch read also gives the planner real file sizes for the
+    # join-strategy choice (broadcast while it fits, shuffle past it).
+    banded = _materialize_scratch(banded)
     banded = shed_big_buckets(banded, max_bucket_rows, "minhash_lsh_pairs",
                               metrics=metrics)
     a, b = banded.alias("a"), banded.alias("b")
@@ -617,7 +630,9 @@ def _simhash_banded(sigs: DataFrame) -> DataFrame:
 
 
 def simhash_near_matches(new_sigs: DataFrame, seen_sigs: DataFrame,
-                         max_hamming: int = 3) -> DataFrame:
+                         max_hamming: int = 3,
+                         max_bucket_rows: int | None = None,
+                         metrics: dict | None = None) -> DataFrame:
     """doc_ids from new_sigs whose SimHash is within max_hamming bits of
     ANY seen_sigs fingerprint — the incremental cross-batch near-dup
     probe. EXACT by the same pigeonhole as simhash_pairs (a pair within
@@ -625,13 +640,23 @@ def simhash_near_matches(new_sigs: DataFrame, seen_sigs: DataFrame,
     only (new x seen) candidates are generated, never seen x seen, so a
     micro-batch costs |batch| x bucket-collision work no matter how
     large the accumulated index is. One shuffle keyed on the 2^16-bucket
-    band keys; popcount verifies."""
+    band keys; popcount verifies.
+
+    max_bucket_rows (opt-in, same guard as simhash_pairs): a boilerplate
+    mega-cluster accumulated in the seen-signature index shares a band
+    bucket with every future near-copy, growing each micro-batch's band
+    join with that bucket for the stream's lifetime; over-cap SEEN-side
+    buckets are shed (logged + metrics) — matches against them are then
+    forgone, the documented trade of every shed_big_buckets caller."""
     if max_hamming >= SIMHASH_BANDS:
         raise ValueError(
             f"max_hamming must stay < {SIMHASH_BANDS} for the pigeonhole "
             f"guarantee: {max_hamming}")
     a = _simhash_banded(new_sigs.select("doc_id", "simhash"))
-    b = _simhash_banded(seen_sigs.select("doc_id", "simhash")).select(
+    b = _simhash_banded(seen_sigs.select("doc_id", "simhash"))
+    b = shed_big_buckets(b, max_bucket_rows, "simhash_near_matches",
+                         metrics=metrics)
+    b = b.select(
         F.col("doc_id").alias("seen_id"), F.col("simhash").alias("seen_sh"),
         "bucket")
     return (
@@ -662,6 +687,10 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3,
     """
     sh = simhash(df).select("doc_id", "simhash")
     banded = _simhash_banded(sh)
+    # same double-branch dedup as minhash_lsh_pairs: the fingerprint
+    # pipeline (one md5 per word + 64 bit votes) must not run once per
+    # self-join branch; the banded frame is skinny
+    banded = _materialize_scratch(banded)
     banded = shed_big_buckets(banded, max_bucket_rows, "simhash_pairs",
                               metrics=metrics)
     a, b = banded.alias("a"), banded.alias("b")

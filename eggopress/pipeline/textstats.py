@@ -15,7 +15,7 @@ VOCAB = 50_257
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
 FP_MOD = 2_147_483_647
 
-def fan_out(df: DataFrame, factor: int = 2) -> DataFrame:
+def fan_out(df: DataFrame, factor: int = 2, min_bytes: int = 0) -> DataFrame:
     """Scan-parallelism floor for heavy narrow passes (optimization guide
     §2.5 input skew / §6 split sizing): a single-row-group parquet file
     scans as ONE task no matter how many cores the cluster has, so per-row
@@ -28,8 +28,29 @@ def fan_out(df: DataFrame, factor: int = 2) -> DataFrame:
     target (the 100 TB case: thousands of row groups), so this never adds
     a shuffle at scale. Results of every caller are partition-independent
     (hashes, per-row projections, aggregations), so the round-robin
-    placement cannot change any query output."""
+    placement cannot change any query output.
+
+    min_bytes gates the shuffle on the INPUT's on-disk size when it is
+    knowable (a plain file scan): below it, the serial narrow work is
+    cheaper than the extra exchange's fixed cost, so callers whose
+    per-byte work is light (tokenize: one split per doc) pass a higher
+    floor than callers whose per-byte work is heavy (shingling: ~100
+    hashes per doc), which always fan out. Unknowable input sizes
+    (mid-plan frames) fan out on the partition test alone."""
     spark = df.sparkSession
+    if min_bytes:
+        try:
+            total = 0
+            for f in df.inputFiles():
+                p = f[len("file:"):] if f.startswith("file:") else f
+                if "://" in p:
+                    total = None
+                    break
+                total += os.path.getsize(p)
+            if total is not None and total < min_bytes:
+                return df
+        except Exception:
+            pass
     target = max(spark.sparkContext.defaultParallelism * factor, 1)
     if df.rdd.getNumPartitions() * 2 <= target:
         return df.repartition(target)
@@ -101,8 +122,12 @@ def tokenize(df: DataFrame, make_ids: bool = True) -> DataFrame:
     )
     # fan out BEFORE the projection: the split/tokenize expressions are the
     # heavy narrow work, and they must run after the repartition exchange,
-    # not on the (possibly single-task) scan feeding it
-    df = fan_out(df)
+    # not on the (possibly single-task) scan feeding it. Tokenize is LIGHT
+    # per byte (~one split per doc), so small inputs skip the shuffle —
+    # below ~32 MB the extra exchange costs more than the serial split
+    # (measured on the sf1.0 bench: pack/histogram regressed ~1.5s with
+    # an unconditional fan-out, while the split itself is ~1.4s serial).
+    df = fan_out(df, min_bytes=32 << 20)
     return df.select(
         F.expr(id_expr).alias("doc_id"),
         F.expr(TOKENS_SPARK).alias("tokens"),
@@ -241,7 +266,7 @@ def token_histogram(corpus: DataFrame, min_count: int = 1) -> DataFrame:
         )
 
     return (
-        fan_out(corpus.select("tokens"))
+        corpus.select("tokens")
         .mapInArrow(_hist, "token int, n long")
         .groupBy("token")
         .agg(F.sum("n").alias("n"))

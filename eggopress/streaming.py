@@ -115,6 +115,16 @@ def stream_ingest(spark: SparkSession, input_dir: str, table_path: str, *,
             df = df.join(seen, "doc_id", "left_anti")
         sig = None
         if neardup == "simhash":
+            # the coverage raise fires even for a replayed batch ON
+            # PURPOSE (r06 revisited the advisory to skip it): a stream
+            # with broken signature coverage is wedged at its next REAL
+            # batch anyway, and a fresh-checkpoint ingest over an
+            # uncovered table re-numbers batches onto recorded run_ids —
+            # skipping would turn that misconfiguration into a silent
+            # no-op that looks like a successful neardup ingest
+            # (behavior pinned by test_stream_neardup_*). Only the
+            # signature computation and the index join are skipped for
+            # replays, below.
             if snap is not None and snap.get("sigs_cover_table") is not True:
                 raise RuntimeError(
                     "neardup requires full signature coverage: this "

@@ -183,3 +183,17 @@ def test_fsst_binary_random_roundtrip():
     table = fsst.build_table(buf)
     enc = fsst.encode(buf, table)
     assert fsst.decode(enc, table) == buf
+
+
+@pytest.mark.parametrize("name", list(INT_CASES))
+def test_plain_blob_size_exact(name):
+    """The analytic plain size used by the plain-fallback guards must
+    equal the real blob byte-for-byte-in-length — selection decisions
+    hang on this equality (r06 optimization: the guards no longer build
+    a full plain payload per encoded stream)."""
+    from eggopress.codecs.intcodecs import plain_blob_size
+
+    arr = INT_CASES[name]
+    assert plain_blob_size(arr) == len(enc_plain(arr))
+    assert plain_blob_size(arr.astype(np.int64)) == len(
+        enc_plain(arr.astype(np.int64)))
