@@ -326,12 +326,21 @@ def encode_ints(arr: np.ndarray, candidates: tuple[str, ...] = INT_CODECS) -> by
     full size and the smaller kept — still deterministic by content."""
     arr = np.ascontiguousarray(arr)
     sample = _sample(arr)
+    # when the sample IS the whole array (streams <= SAMPLE values — the
+    # common case for sub-streams: string lengths, dict codes, rle/pfor
+    # side streams), every candidate was already encoded at FULL size, so
+    # keep the blobs and skip the re-encode of the winner below —
+    # byte-identical output, roughly half the calls on small streams
+    full_blobs: dict[str, bytes] = {}
     sizes: list[tuple[int, str]] = []
     for name in candidates:
         try:
-            sizes.append((len(_ENCODERS[name](sample)), name))
+            b = _ENCODERS[name](sample)
         except OverflowError:
             continue
+        sizes.append((len(b), name))
+        if sample is arr:
+            full_blobs[name] = b
     sizes.sort()
     # delta must win DECISIVELY (<= 0.7x the best alternative): its
     # output is high-entropy (zigzag steps), so a narrow pre-storage win
@@ -352,7 +361,7 @@ def encode_ints(arr: np.ndarray, candidates: tuple[str, ...] = INT_CODECS) -> by
             sizes.insert(0, hit[0])
     best_name = sizes[0][1] if sizes else "plain"
     try:
-        blob = _ENCODERS[best_name](arr)
+        blob = full_blobs.get(best_name) or _ENCODERS[best_name](arr)
     except OverflowError:
         return enc_plain(arr)
     # cross-check only when the sample winner's size grows NONLINEARLY with
@@ -372,7 +381,7 @@ def encode_ints(arr: np.ndarray, candidates: tuple[str, ...] = INT_CODECS) -> by
         except OverflowError:
             pass
     if len(blob) >= plain_blob_size(arr):
-        return enc_plain(arr)
+        return full_blobs.get("plain") or enc_plain(arr)
     return blob
 
 
