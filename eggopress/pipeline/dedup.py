@@ -267,8 +267,18 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.6,
     # materialize=False returns the LAZY end-to-end plan (no scratch
     # write) — for plan inspection/tests; executing it recomputes the
     # hash table per branch, so production callers keep the default
+    hs_bytes = None
     if materialize:
         hs_docs = _materialize_scratch(hs_docs)
+        hs_bytes = _scratch_bytes(hs_docs)
+    # "small" = the whole problem fits a couple of tasks (hash table
+    # under ~8 MB, i.e. low tens of thousands of docs): the two
+    # stage-adding optimizations below (prefix-row materialization and
+    # the pair-stream fan) exist to parallelize millions of candidate
+    # verifications, and at small scale their extra jobs cost more than
+    # the serial work they parallelize (measured: +2.4 s at the 5k-doc
+    # sf0.1 bench, -4 s at the 50k-doc sf1.0 bench)
+    small = hs_bytes is not None and hs_bytes < (8 << 20)
     ex = hs_docs.select("doc_id", "n_sh", F.explode("hsh").alias("sh"))
     dfreq = ex.groupBy("sh").agg(F.count("*").alias("df"))
     # prefix rows straight from a per-doc window rank over the global
@@ -290,8 +300,9 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.6,
     # this the join+window subtree executes twice (no ReusedExchange across
     # a broadcast boundary — verified in the r06 before-plan). The frame is
     # skinny (4 fixed-width columns, ~0.4 rows per shingle occurrence), so
-    # the scratch write is cheap at any scale.
-    if materialize:
+    # the scratch write is cheap at any scale; skipped when small (the
+    # double compute is then cheaper than another job).
+    if materialize and not small:
         pre = _materialize_scratch(pre)
     # positional filter (ppjoin): a pair with Jaccard >= t has overlap
     # o >= alpha = ceil(t*(na+nb)/(1+t)); its FIRST common shingle in the
@@ -321,7 +332,7 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.6,
                      F.col("hsh").alias("h_a"), F.col("n_sh").alias("na"))
     fb = full.select(F.col("doc_id").alias("id_b"),
                      F.col("hsh").alias("h_b"), F.col("n_sh").alias("nb"))
-    if materialize and _scratch_bytes(full) <= _broadcast_cap_bytes():
+    if materialize and hs_bytes <= _broadcast_cap_bytes():
         # verify-join strategy (guide §3.1): the candidate side is the BIG
         # side (11M near-miss pairs for 2.5k true dups on the sf1.0
         # bench), and a shuffled join would move each candidate row TWICE
@@ -335,8 +346,9 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.6,
         # ~16 B/row output to 2-3 partitions, which would run the
         # CPU-bound array_intersect verification nearly serially.
         fa, fb = F.broadcast(fa), F.broadcast(fb)
-        cand = cand.repartition(
-            cand.sparkSession.sparkContext.defaultParallelism * 2)
+        if not small:
+            cand = cand.repartition(
+                cand.sparkSession.sparkContext.defaultParallelism * 2)
     result_plan = (
         cand.join(fa, "id_a")
         .join(fb, "id_b")

@@ -9,6 +9,8 @@ exercising the same engine paths (array<int32> token columns).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 VOCAB = 50_257

@@ -60,23 +60,27 @@ def roundtrip_ok(original: DataFrame, decoded: DataFrame) -> bool:
     row-by-row path remains available as roundtrip_mismatches, which
     verify_table uses for per-source attribution.
 
-    Digests are packed into a single struct column: Spark 4.1's
-    RewriteExceptAll mis-binds multi-column plans that contain a
-    dropDuplicates aggregate upstream (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND
-    on the pruned child) — one struct attribute gives the rewrite nothing
-    to prune."""
+    The multiset compare is per-digest counts full-outer-joined (count
+    mismatch or a one-sided digest = not equal) rather than a symmetric
+    exceptAll: exceptAll's two directions duplicate both input subtrees
+    in one plan with no exchange reuse (verified in the r06 plan — the
+    table DECODE executed twice), while the join form computes each side
+    once and co-partitions the join on the aggregate keys."""
     cols = ["doc_id", "tokens", "n_tok", "source"]
 
-    def digest(df: DataFrame) -> DataFrame:
+    def digest_counts(df: DataFrame) -> DataFrame:
         return df.select(
-            F.struct(
-                F.xxhash64(F.lit(0), F.isnull("tokens"), *cols).alias("h1"),
-                F.xxhash64(F.lit(1), F.isnull("tokens"), *cols).alias("h2"),
-            ).alias("r")
-        )
+            F.xxhash64(F.lit(0), F.isnull("tokens"), *cols).alias("h1"),
+            F.xxhash64(F.lit(1), F.isnull("tokens"), *cols).alias("h2"),
+        ).groupBy("h1", "h2").agg(F.count("*").alias("n"))
 
-    o, d = digest(original), digest(decoded)
-    return o.exceptAll(d).unionAll(d.exceptAll(o)).limit(1).count() == 0
+    o = digest_counts(original).withColumnRenamed("n", "n_o")
+    d = digest_counts(decoded).withColumnRenamed("n", "n_d")
+    diff = (
+        o.join(d, ["h1", "h2"], "full_outer")
+        .filter(F.coalesce("n_o", F.lit(-1)) != F.coalesce("n_d", F.lit(-1)))
+    )
+    return diff.limit(1).count() == 0
 
 
 def parquet_reference_bytes(df: DataFrame, scratch_dir: str,

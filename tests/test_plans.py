@@ -234,3 +234,33 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
     plan = _formatted(textstats.decontaminate(docs, bench, n=3))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_fan_out_gates(spark):
+    """fan_out (r06): repartitions narrow low-partition inputs to
+    2x parallelism, no-ops when the input is already wide, and the
+    min_bytes gate skips the shuffle for small file scans."""
+    from eggopress.pipeline.textstats import fan_out
+
+    target = spark.sparkContext.defaultParallelism * 2
+    narrow = spark.range(1000).coalesce(1)
+    assert fan_out(narrow).rdd.getNumPartitions() == target
+    wide = spark.range(1000).repartition(target)
+    assert fan_out(wide) is wide
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # tiny scan + high byte floor -> untouched; floor 0 -> fanned
+    assert fan_out(docs, min_bytes=1 << 30) is docs
+    assert fan_out(docs).rdd.getNumPartitions() == target
+
+
+def test_minhash_pairs_computes_signatures_once(spark):
+    """The banded frame materializes to scratch before the self-join
+    (r06): the returned plan must scan the materialized keys, never
+    re-run the signature pipeline per join branch (the r05 plan carried
+    two full MapInArrow signature subtrees)."""
+    from eggopress.pipeline import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _formatted(dedup.minhash_lsh_pairs(docs))
+    assert "MapInArrow" not in plan and "md5" not in plan
+    assert "CartesianProduct" not in plan
