@@ -311,6 +311,14 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.6,
     # min(na-pa, nb-pb) >= alpha must hold for that match — candidates
     # matched only late in a prefix are cut before the distinct/verify
     a, b = pre.alias("a"), pre.alias("b")
+    if (materialize and not small
+            and _scratch_bytes(pre) <= _broadcast_cap_bytes()):
+        # the prefix frame is ~0.4 skinny rows per shingle occurrence;
+        # while its materialized size fits the cap, broadcasting one side
+        # of the self-join removes both sort-merge exchanges + sorts from
+        # the candidate stage (guide §3.1). Past the cap the planner's
+        # shuffled self-join stands.
+        b = F.broadcast(b)
     # the suffix bound is an integer, so min >= ceil(q) <=> min >= q; the
     # 1e-9 slack absorbs float rounding (0.9/1.9*38 lands a hair ABOVE 18,
     # and a ceil would over-filter exact-boundary pairs)
