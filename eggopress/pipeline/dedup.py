@@ -278,32 +278,51 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.6,
     # verifications, and at small scale their extra jobs cost more than
     # the serial work they parallelize (measured: +2.4 s at the 5k-doc
     # sf0.1 bench, -4 s at the 50k-doc sf1.0 bench)
-    small = hs_bytes is not None and hs_bytes < (8 << 20)
+    small = hs_bytes is not None and hs_bytes < (
+        int(os.environ.get("EGGOPRESS_JACCARD_SMALL_MB", "8")) << 20)
     ex = hs_docs.select("doc_id", "n_sh", F.explode("hsh").alias("sh"))
     dfreq = ex.groupBy("sh").agg(F.count("*").alias("df"))
-    # prefix rows straight from a per-doc window rank over the global
-    # (df, sh) order — the previous plan materialized a sorted per-doc
-    # ARRAY (collect_list + sort_array) only to posexplode the first
-    # plen entries back into rows; rank <= plen is the same set with no
-    # array build/teardown. p stays 0-based to keep the positional
-    # arithmetic below identical.
-    from pyspark.sql.window import Window
-
-    _w = Window.partitionBy("doc_id").orderBy("df", "sh")
-    pre = (
-        ex.join(dfreq, "sh")
-        .withColumn("p", F.row_number().over(_w) - 1)
-        .filter(F.col("p") < (F.floor((1 - t_eff) * F.col("n_sh")) + 1).cast("int"))
-        .select("doc_id", "n_sh", "p", "sh")
-    )
-    # the prefix rows feed BOTH sides of the candidate self-join; without
-    # this the join+window subtree executes twice (no ReusedExchange across
-    # a broadcast boundary — verified in the r06 before-plan). The frame is
-    # skinny (4 fixed-width columns, ~0.4 rows per shingle occurrence), so
-    # the scratch write is cheap at any scale; skipped when small (the
-    # double compute is then cheaper than another job).
+    pre = None
     if materialize and not small:
-        pre = _materialize_scratch(pre)
+        # big path: materialize the document-frequency table (the one
+        # unavoidable full aggregation) and, while it fits the broadcast
+        # cap, derive the prefix rows in ONE Arrow pass over the hash
+        # table with the df map broadcast — replacing the explode ->
+        # dfreq join -> window rank chain and its two exchanges + sort
+        # (guide §2.4: remove shuffles outright). Identical rows by
+        # construction: the kernel ranks each doc's hashes by the same
+        # (df, sh) order the window used (no ties possible — hashes are
+        # distinct within a doc). Past the cap (billions of distinct
+        # shingles) the join+window plan below stands, reusing the
+        # materialized dfreq.
+        dfreq = _materialize_scratch(dfreq)
+        if _scratch_bytes(dfreq) <= _broadcast_cap_bytes():
+            pre = _materialize_scratch(
+                _prefix_rows_broadcast(hs_docs, dfreq, t_eff))
+    if pre is None:
+        # prefix rows straight from a per-doc window rank over the global
+        # (df, sh) order — the previous plan materialized a sorted per-doc
+        # ARRAY (collect_list + sort_array) only to posexplode the first
+        # plen entries back into rows; rank <= plen is the same set with
+        # no array build/teardown. p stays 0-based to keep the positional
+        # arithmetic below identical.
+        from pyspark.sql.window import Window
+
+        _w = Window.partitionBy("doc_id").orderBy("df", "sh")
+        pre = (
+            ex.join(dfreq, "sh")
+            .withColumn("p", F.row_number().over(_w) - 1)
+            .filter(F.col("p") < (F.floor((1 - t_eff) * F.col("n_sh")) + 1).cast("int"))
+            .select("doc_id", "n_sh", "p", "sh")
+        )
+        # the prefix rows feed BOTH sides of the candidate self-join;
+        # without this the join+window subtree executes twice (no
+        # ReusedExchange across a broadcast boundary — verified in the
+        # r06 before-plan). The frame is skinny, so the scratch write is
+        # cheap at any scale; skipped when small (the double compute is
+        # then cheaper than another job).
+        if materialize and not small:
+            pre = _materialize_scratch(pre)
     # positional filter (ppjoin): a pair with Jaccard >= t has overlap
     # o >= alpha = ceil(t*(na+nb)/(1+t)); its FIRST common shingle in the
     # global order sits in both prefixes at positions (pa, pb), and all o
@@ -374,6 +393,77 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.6,
     # output any pipeline materializes anyway); the scratch intermediates
     # above are cleaned at process exit like every _materialize_scratch dir
     return _materialize_scratch(result_plan)
+
+
+def _prefix_rows_broadcast(hs_docs: DataFrame, dfreq: DataFrame,
+                           t_eff: float) -> DataFrame:
+    """(doc_id, n_sh, p, sh) prefix rows via one Arrow pass with the
+    document-frequency map broadcast (the under-cap path of
+    ngram_jaccard_pairs — see the call site for when it applies, and for
+    the join+window plan that stands past the cap).
+
+    Per batch: flatten the per-doc hash arrays, attach df by binary
+    search into the broadcast (sh -> df) map, rank within each doc by
+    np.lexsort((sh, df, doc)) — doc-major, then (df, sh), the exact
+    ordering of the window path's row_number() OVER (PARTITION BY doc_id
+    ORDER BY df, sh), with no ties possible (hashes are distinct within
+    a doc) — and keep ranks below the same plen = floor((1-t)*n_sh)+1
+    bound (identical double arithmetic)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    spark = hs_docs.sparkSession
+    pdf = dfreq.select("sh", "df").toPandas()
+    sh_vals = pdf["sh"].to_numpy(dtype=np.int64)
+    order0 = np.argsort(sh_vals)
+    sh_sorted = sh_vals[order0]
+    df_sorted = pdf["df"].to_numpy(dtype=np.int64)[order0]
+    bc = spark.sparkContext.broadcast((sh_sorted, df_sorted))
+
+    def fn(batches):
+        sh_s, df_s = bc.value
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            hsh = batch.column("hsh")
+            lens = np.asarray(
+                pc.list_value_length(hsh).to_numpy(zero_copy_only=False),
+                dtype=np.int64)
+            flat = hsh.flatten().to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False)
+            nsh = batch.column("n_sh").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            total = len(flat)
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+            pos = np.searchsorted(sh_s, flat)
+            if len(sh_s) == 0 or (pos >= len(sh_s)).any() or \
+                    (sh_s[np.minimum(pos, len(sh_s) - 1)] != flat).any():
+                raise RuntimeError(
+                    "prefix df map does not cover the hash table "
+                    "(inconsistent scratch state)")
+            dfv = df_s[pos]
+            order = np.lexsort((flat, dfv, doc_idx))
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            sorted_doc = doc_idx[order]
+            p = np.arange(total, dtype=np.int64) - starts[sorted_doc]
+            plen = (np.floor((1 - t_eff) * nsh) + 1).astype(np.int64)
+            keep = p < plen[sorted_doc]
+            sel_doc = sorted_doc[keep]
+            idx = pa.array(sel_doc)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id").take(idx),
+                    pa.array(nsh[sel_doc].astype(np.int32)),
+                    pa.array(p[keep].astype(np.int32)),
+                    pa.array(flat[order][keep]),
+                ],
+                names=["doc_id", "n_sh", "p", "sh"],
+            )
+
+    idt = dict(hs_docs.dtypes)["doc_id"]
+    return hs_docs.select("doc_id", "hsh", "n_sh").mapInArrow(
+        fn, f"doc_id {idt}, n_sh int, p int, sh long")
 
 
 def _scratch_bytes(df: DataFrame) -> int:

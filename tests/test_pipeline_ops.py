@@ -841,3 +841,46 @@ def test_lsh_multiprobe_improves_recall(spark, embs):
     assert m_hits >= s_hits
     full = simsearch.lsh_topk(embs, q, 10, probe_bits=8)
     assert [tuple(r) for r in full.collect()] == b
+
+
+def test_jaccard_big_path_matches_inverted(spark, docs, monkeypatch):
+    """Force the big (scale) path — scratch-materialized prefix rows via
+    the broadcast-df Arrow kernel, broadcast candidate join, broadcast
+    verify with the pair-stream fan — on the small fixture and pin exact
+    parity with the inverted-index cross-check."""
+    from eggopress.pipeline import dedup
+
+    monkeypatch.setenv("EGGOPRESS_JACCARD_SMALL_MB", "0")
+    a = {tuple(r) for r in dedup.ngram_jaccard_pairs(docs, 0.6, "prefix").collect()}
+    b = {tuple(r) for r in dedup.ngram_jaccard_pairs(docs, 0.6, "inverted").collect()}
+    assert a == b and len(a) > 0
+
+
+def test_prefix_rows_broadcast_matches_window(spark, docs):
+    """The Arrow prefix kernel must emit exactly the window path's
+    (doc_id, n_sh, p, sh) rows — same (df, sh) ranking, same plen cut."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from eggopress.pipeline import dedup
+
+    t_eff = 0.6 - 5e-7
+    hs = dedup._materialize_scratch(
+        dedup.shingle_frame(docs).select(
+            "doc_id",
+            F.expr("transform(shingles, s -> xxhash64(s))").alias("hsh"),
+            "n_sh"))
+    ex = hs.select("doc_id", "n_sh", F.explode("hsh").alias("sh"))
+    dfreq = dedup._materialize_scratch(
+        ex.groupBy("sh").agg(F.count("*").alias("df")))
+    w = Window.partitionBy("doc_id").orderBy("df", "sh")
+    expected = {
+        tuple(r) for r in
+        ex.join(dfreq, "sh")
+        .withColumn("p", F.row_number().over(w) - 1)
+        .filter(F.col("p") < (F.floor((1 - t_eff) * F.col("n_sh")) + 1).cast("int"))
+        .select("doc_id", "n_sh", "p", "sh").collect()
+    }
+    got = {tuple(r) for r in
+           dedup._prefix_rows_broadcast(hs, dfreq, t_eff).collect()}
+    assert got == expected and len(got) > 0
