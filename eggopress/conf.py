@@ -116,6 +116,23 @@ def prewarm_python_workers(spark) -> None:
         .orderBy("t").count()
     )
 
+    def _warm_pd(batches):
+        for b in batches:  # pandas serializer path (distinct from Arrow's)
+            yield b
+
+    df.limit(64).mapInPandas(_warm_pd, "id long, k long, s string").count()
+    # parquet writer/committer + data codec classes: one tiny write+read
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="eggopress-prewarm-")
+    try:
+        df.limit(64).write.mode("overwrite").option(
+            "compression", data_codec()).parquet(d)
+        spark.read.parquet(d).count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
 
 def session_builder(app: str, cores: int | None = None, shuffle: int | None = None):
     """SparkSession builder with the engine's standard local config.
