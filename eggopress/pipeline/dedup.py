@@ -344,16 +344,27 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.6,
     alpha = (
         t_eff / (1.0 + t_eff) * (F.col("a.n_sh") + F.col("b.n_sh")) - 1e-9
     )
-    cand = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.least(F.col("a.n_sh") - F.col("a.p"), F.col("b.n_sh") - F.col("b.p")) >= alpha),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
+    cand = a.join(
+        b,
+        (F.col("a.sh") == F.col("b.sh"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.least(F.col("a.n_sh") - F.col("a.p"), F.col("b.n_sh") - F.col("b.p")) >= alpha),
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    if materialize and not small:
+        # dedup + verify-parallelism in ONE exchange: an explicit hash
+        # repartition on the pair key satisfies the following
+        # dropDuplicates' required distribution (no second exchange) and,
+        # unlike a bare distinct(), is not AQE-coalesced to 2-3
+        # partitions — which would run the CPU-bound verification below
+        # nearly serially. (A bare distinct + round-robin fan was the
+        # previous plan: two full exchanges of the ~16 B/row pair
+        # stream.)
+        cand = cand.repartition(
+            cand.sparkSession.sparkContext.defaultParallelism * 2,
+            "id_a", "id_b",
+        ).dropDuplicates()
+    else:
+        cand = cand.distinct()
     full = hs_docs
     fa = full.select(F.col("doc_id").alias("id_a"),
                      F.col("hsh").alias("h_a"), F.col("n_sh").alias("na"))
@@ -368,14 +379,10 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.6,
         # materialized hash table's ACTUAL on-disk size fits the
         # broadcast cap, broadcast it on both attaches so candidate rows
         # never shuffle; past the cap (the 100 TB corpus) the planner's
-        # shuffled join stands, exactly as before. The skinny pair stream
-        # is round-robin fanned first: AQE coalesces the distinct()'s
-        # ~16 B/row output to 2-3 partitions, which would run the
-        # CPU-bound array_intersect verification nearly serially.
+        # shuffled join stands, exactly as before. (Verification
+        # parallelism comes from the explicit pair-key repartition fused
+        # into the dedup above.)
         fa, fb = F.broadcast(fa), F.broadcast(fb)
-        if not small:
-            cand = cand.repartition(
-                cand.sparkSession.sparkContext.defaultParallelism * 2)
     result_plan = (
         cand.join(fa, "id_a")
         .join(fb, "id_b")
