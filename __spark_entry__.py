@@ -831,6 +831,17 @@ def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # generic relational coverage (aggregate / broadcast join / window)
+        # — listed FIRST: the round-5 driver correctness file truncated at
+        # 50 of 55 rows and dropped exactly these (the least externally
+        # proven rows); front-loading them means any future truncation
+        # sheds the longest-proven rows at the tail instead. Pure dict
+        # ordering — names, callables, and oracle SQL are unchanged.
+        "agg_pricing_summary": _q_agg_pricing,
+        "join_segment_rollup": _q_join_segment_rollup,
+        "join_shipping_priority": _q_shipping_priority,
+        "window_top_orders": _q_window_top_orders,
+        "events_rollup": _q_events_rollup,
         # engine core (SURVEY.md §2.4 C1-C7, §2.3 D1-D4, §2.1 S5/S6, §2.7 V1-V2)
         "c7_roundtrip_equality": _q_roundtrip_equality,
         "c7_roundtrip_token_sum": _q_roundtrip_token_sum,
@@ -883,12 +894,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_rle_decode": _q_multimodal_rle_decode,
         "multimodal_frame_sample": _q_multimodal_frames,
-        # generic relational coverage (aggregate / broadcast join / window)
-        "agg_pricing_summary": _q_agg_pricing,
-        "join_segment_rollup": _q_join_segment_rollup,
-        "join_shipping_priority": _q_shipping_priority,
-        "window_top_orders": _q_window_top_orders,
-        "events_rollup": _q_events_rollup,
     }
 
 
