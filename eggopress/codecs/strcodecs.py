@@ -34,8 +34,9 @@ def _slice(lengths: np.ndarray, buf: bytes, n: int) -> tuple[np.ndarray, bytes]:
     return ls, buf[: int(ls.sum())]
 
 
-def enc_str_plain(lengths: np.ndarray, buf: bytes) -> bytes:
-    lblob = encode_ints(lengths.astype(np.int64))
+def enc_str_plain(lengths: np.ndarray, buf: bytes,
+                  _lblob: bytes | None = None) -> bytes:
+    lblob = _lblob if _lblob is not None else encode_ints(lengths.astype(np.int64))
     return make_blob({"c": "str_plain", "n": int(len(lengths))}, pack_parts([lblob, buf]))
 
 
@@ -44,10 +45,11 @@ def dec_str_plain(header: dict, payload: bytes) -> tuple[np.ndarray, bytes]:
     return decode_ints(lblob), buf
 
 
-def enc_str_fsst(lengths: np.ndarray, buf: bytes) -> bytes:
+def enc_str_fsst(lengths: np.ndarray, buf: bytes,
+                 _lblob: bytes | None = None) -> bytes:
     table = fsst.build_table(buf)
     enc = fsst.encode(buf, table)
-    lblob = encode_ints(lengths.astype(np.int64))
+    lblob = _lblob if _lblob is not None else encode_ints(lengths.astype(np.int64))
     header = {"c": "str_fsst", "n": int(len(lengths)), "tab": fsst.table_to_json(table)}
     return make_blob(header, pack_parts([lblob, enc]))
 
@@ -116,6 +118,8 @@ def encode_strs(lengths: np.ndarray, buf: bytes,
                 candidates: tuple[str, ...] = STR_CODECS) -> bytes:
     lengths = np.ascontiguousarray(lengths, dtype=np.int64)
     s_len, s_buf = _slice(lengths, buf, SAMPLE_ROWS)
+    if candidates == STR_CODECS:
+        return _encode_strs_default(lengths, buf, s_len, s_buf)
     best_name, best_size = "str_plain", None
     for name in candidates:
         size = len(_ENCODERS[name](s_len, s_buf))
@@ -126,6 +130,62 @@ def encode_strs(lengths: np.ndarray, buf: bytes,
         p = enc_str_plain(lengths, buf)
         if len(blob) >= len(p):
             return p
+    return blob
+
+
+def _encode_strs_default(lengths: np.ndarray, buf: bytes,
+                         s_len: np.ndarray, s_buf: bytes) -> bytes:
+    """Default-candidates selection with provably-redundant work removed.
+    Byte-identical to the generic loop above over (plain, fsst, dict) —
+    pinned by test_encode_strs_matches_reference_selection:
+
+    - the sample lengths blob is computed ONCE and shared by the plain
+      and fsst probes (both embed the identical encode_ints(lengths)
+      stream);
+    - the fsst probe is SKIPPED when an exact lower bound on its blob
+      size proves the argmin cannot change: fsst replaces symbols of at
+      most 8 bytes with 1-byte codes, so its payload is >= len(lblob) +
+      ceil(len(buf)/8) and the framed blob strictly larger. fsst is
+      selected only if f < p (probe order), and dict then only if
+      d < min(p, f); if LB >= p, fsst never replaces plain; if d < p and
+      d < LB <= f, dict beats both — either way the winner is decided by
+      the plain/dict comparison alone;
+    - when the sample IS the whole column, probe blobs are reused as the
+      full encodes (the same skip encode_ints applies to small streams);
+    - the full-size plain guard is SKIPPED when the winner's blob is
+      already <= len(buf): the full plain blob embeds buf verbatim plus
+      a non-empty header and lengths stream, so it is strictly larger
+      and can never be returned."""
+    sample_is_full = s_len is lengths
+    s_lblob = encode_ints(s_len)
+    p_blob = enc_str_plain(s_len, s_buf, _lblob=s_lblob)
+    p_size = len(p_blob)
+    d_blob = enc_str_dict(s_len, s_buf)
+    d_size = len(d_blob)
+    f_lb = len(s_lblob) + (len(s_buf) + 7) // 8
+    f_blob = None
+    if not (f_lb >= p_size or (d_size < p_size and d_size < f_lb)):
+        f_blob = enc_str_fsst(s_len, s_buf, _lblob=s_lblob)
+    # same argmin/tie semantics as the probe loop: strict < replaces, in
+    # (plain, fsst, dict) order
+    best_name, best_size = "str_plain", p_size
+    if f_blob is not None and len(f_blob) < best_size:
+        best_name, best_size = "str_fsst", len(f_blob)
+    if d_size < best_size:
+        best_name, best_size = "str_dict", d_size
+    if best_name == "str_plain":
+        return p_blob if sample_is_full else enc_str_plain(lengths, buf)
+    if sample_is_full:
+        blob = {"str_fsst": f_blob, "str_dict": d_blob}[best_name]
+        if len(blob) >= p_size:
+            return p_blob
+        return blob
+    blob = _ENCODERS[best_name](lengths, buf)
+    if len(blob) <= len(buf):  # full plain is strictly larger — guard moot
+        return blob
+    p = enc_str_plain(lengths, buf)
+    if len(blob) >= len(p):
+        return p
     return blob
 
 

@@ -197,3 +197,44 @@ def test_plain_blob_size_exact(name):
     assert plain_blob_size(arr) == len(enc_plain(arr))
     assert plain_blob_size(arr.astype(np.int64)) == len(
         enc_plain(arr.astype(np.int64)))
+
+
+def test_encode_strs_matches_reference_selection():
+    """The default-candidates fast path in encode_strs (shared sample
+    lengths blob, fsst lower-bound probe skip, sample==full blob reuse,
+    analytic plain-guard skip — r06 optimization) must stay BYTE-identical
+    to the plain probe-everything selection loop on every regime: the
+    skips are argued from exact lower bounds, and this pins the argument."""
+    from eggopress.codecs import strcodecs as sc
+
+    def reference(lengths, buf):
+        lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+        s_len, s_buf = sc._slice(lengths, buf, sc.SAMPLE_ROWS)
+        best_name, best_size = "str_plain", None
+        for name in sc.STR_CODECS:
+            size = len(sc._ENCODERS[name](s_len, s_buf))
+            if best_size is None or size < best_size:
+                best_name, best_size = name, size
+        blob = sc._ENCODERS[best_name](lengths, buf)
+        if best_name != "str_plain":
+            p = sc.enc_str_plain(lengths, buf)
+            if len(blob) >= len(p):
+                return p
+        return blob
+
+    extra = {
+        # > SAMPLE_ROWS so the sampled probe and full encode diverge
+        "big_low_card": ["AA", "BB", "CC"] * 3000,
+        "big_doc_ids": [f"id_{i:09d}" for i in range(5000)],
+        "big_same": ["samestring"] * 8192,
+        "big_random": [
+            "".join(chr(c) for c in RNG.integers(33, 127, 20))
+            for _ in range(3000)
+        ],
+        # exactly at / just over the sample boundary
+        "at_sample": [str(i) for i in range(sc.SAMPLE_ROWS)],
+        "over_sample": [str(i) for i in range(sc.SAMPLE_ROWS + 1)],
+    }
+    for name, strs in {**STR_CASES, **extra}.items():
+        lengths, buf = _mk_strs(strs)
+        assert sc.encode_strs(lengths, buf) == reference(lengths, buf), name
