@@ -73,8 +73,9 @@ def enc_str_dict(lengths: np.ndarray, buf: bytes) -> bytes:
     uoff = np.frombuffer(uniq.buffers()[1], dtype=np.int32, count=len(uniq) + 1)
     ulens = np.diff(uoff).astype(np.int64)
     ubuf = uniq.buffers()[2].to_pybytes()[uoff[0] : uoff[-1]]
-    ublob_fsst = enc_str_fsst(ulens, ubuf)
-    ublob_plain = enc_str_plain(ulens, ubuf)
+    ulblob = encode_ints(ulens)
+    ublob_fsst = enc_str_fsst(ulens, ubuf, _lblob=ulblob)
+    ublob_plain = enc_str_plain(ulens, ubuf, _lblob=ulblob)
     ublob = ublob_fsst if len(ublob_fsst) < len(ublob_plain) else ublob_plain
     cblob = encode_ints(codes)
     header = {"c": "str_dict", "n": n, "k": int(len(uniq))}
